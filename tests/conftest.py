@@ -1,0 +1,18 @@
+"""Test harness: force an 8-device virtual CPU mesh.
+
+Tests exercise multi-chip sharding without TPU hardware by asking XLA for
+eight host devices (the TPU analog of multi-node testing without a cluster —
+SURVEY.md §4).
+"""
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ.setdefault('TF_CPP_MIN_LOG_LEVEL', '3')
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

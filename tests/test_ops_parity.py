@@ -1,0 +1,187 @@
+"""Parity tests of the static-shape TPU ops against the exact TF ops the
+reference framework used (tf.compat.v1.image.resize_bilinear,
+tf.image.crop_and_resize, tf.image.non_max_suppression)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from masklab_tpu.ops import (batched_class_aware_nms, class_aware_nms,
+                             crop_and_resize, crop_and_resize_indexed,
+                             cxcywh_to_yxyx, decode_boxes, encode_boxes,
+                             nms_keep_mask, pairwise_iou, resize_bilinear,
+                             semantic_smoothing)
+
+tf = pytest.importorskip('tensorflow')
+
+RNG = np.random.RandomState(0)
+
+
+# ---------- bilinear resize ----------
+
+@pytest.mark.parametrize('in_hw,out_hw', [
+    ((17, 23), (34, 46)), ((64, 64), (16, 16)), ((5, 7), (13, 11)),
+    ((32, 48), (33, 49)), ((10, 10), (10, 10)),
+])
+@pytest.mark.parametrize('align', [True, False])
+def test_resize_bilinear_matches_tf1(in_hw, out_hw, align):
+    x = RNG.rand(2, *in_hw, 3).astype(np.float32)
+    ours = np.asarray(resize_bilinear(jnp.asarray(x), *out_hw,
+                                      align_corners=align))
+    ref = tf.compat.v1.image.resize_bilinear(
+        tf.constant(x), out_hw, align_corners=align).numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-5)
+
+
+# ---------- box ops ----------
+
+def test_decode_encode_roundtrip():
+    priors = RNG.uniform(8, 64, size=(40, 4)).astype(np.float32)
+    gt = RNG.uniform(10, 50, size=(40, 4)).astype(np.float32)
+    deltas = encode_boxes(jnp.asarray(gt), jnp.asarray(priors))
+    rec = decode_boxes(deltas, jnp.asarray(priors))
+    np.testing.assert_allclose(np.asarray(rec), gt, atol=1e-2, rtol=2e-4)
+
+
+def test_pairwise_iou_against_numpy():
+    a = np.abs(RNG.randn(12, 4)).astype(np.float32) * 20 + 5
+    b = np.abs(RNG.randn(9, 4)).astype(np.float32) * 20 + 5
+    got = np.asarray(pairwise_iou(jnp.asarray(a), jnp.asarray(b)))
+
+    def to_corners(x):
+        return np.stack([x[:, 0] - x[:, 2] / 2, x[:, 1] - x[:, 3] / 2,
+                         x[:, 0] + x[:, 2] / 2, x[:, 1] + x[:, 3] / 2], -1)
+
+    ac, bc = to_corners(a), to_corners(b)
+    want = np.zeros((12, 9), np.float32)
+    for i in range(12):
+        for j in range(9):
+            ix = max(0, min(ac[i, 2], bc[j, 2]) - max(ac[i, 0], bc[j, 0]))
+            iy = max(0, min(ac[i, 3], bc[j, 3]) - max(ac[i, 1], bc[j, 1]))
+            inter = ix * iy
+            union = a[i, 2] * a[i, 3] + b[j, 2] * b[j, 3] - inter
+            want[i, j] = inter / (union + 1e-5)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+# ---------- crop_and_resize ----------
+
+@pytest.mark.parametrize('crop', [(14, 14), (7, 5), (1, 1), (28, 28)])
+def test_crop_and_resize_matches_tf(crop):
+    fmap = RNG.rand(1, 24, 31, 8).astype(np.float32)
+    boxes = np.stack([
+        RNG.uniform(-0.2, 0.8, 16), RNG.uniform(-0.2, 0.8, 16),
+        RNG.uniform(0.2, 1.2, 16), RNG.uniform(0.2, 1.2, 16)], -1
+    ).astype(np.float32)
+    ours = np.asarray(crop_and_resize(jnp.asarray(fmap[0]),
+                                      jnp.asarray(boxes), crop))
+    ref = tf.image.crop_and_resize(tf.constant(fmap), tf.constant(boxes),
+                                   tf.zeros(16, tf.int32), crop).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_crop_and_resize_indexed_matches_tf():
+    fmaps = RNG.rand(5, 16, 16, 4).astype(np.float32)
+    boxes = RNG.uniform(0, 1, size=(20, 4)).astype(np.float32)
+    boxes = np.sort(boxes.reshape(20, 2, 2), axis=1).reshape(20, 4)[:, [0, 2, 1, 3]]
+    idx = RNG.randint(0, 5, 20).astype(np.int32)
+    ours = np.asarray(crop_and_resize_indexed(
+        jnp.asarray(fmaps), jnp.asarray(boxes), jnp.asarray(idx), (14, 14)))
+    ref = tf.image.crop_and_resize(fmaps, boxes, idx, (14, 14)).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_crop_and_resize_gradients_flow():
+    fmap = jnp.asarray(RNG.rand(16, 16, 4).astype(np.float32))
+    boxes = jnp.asarray([[0.1, 0.1, 0.6, 0.6]], jnp.float32)
+    g = jax.grad(lambda f: crop_and_resize(f, boxes, (7, 7)).sum())(fmap)
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).sum() > 0
+
+
+# ---------- NMS ----------
+
+def _random_boxes(n):
+    cx = RNG.uniform(20, 200, n)
+    cy = RNG.uniform(20, 200, n)
+    w = RNG.uniform(10, 60, n)
+    h = RNG.uniform(10, 60, n)
+    return np.stack([cx, cy, w, h], -1).astype(np.float32)
+
+
+@pytest.mark.parametrize('seed', [1, 2, 3])
+def test_nms_keep_matches_tf(seed):
+    rng = np.random.RandomState(seed)
+    n = 64
+    boxes = _random_boxes(n)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    order = np.argsort(-scores, kind='stable')
+    yxyx = np.asarray(cxcywh_to_yxyx(jnp.asarray(boxes)))[order]
+    kept = np.asarray(nms_keep_mask(jnp.asarray(yxyx),
+                                    jnp.ones(n, bool), 0.5, 100))
+    ours = order[np.where(kept)[0]]
+    ref = tf.image.non_max_suppression(
+        yxyx, scores[order], max_output_size=100, iou_threshold=0.5).numpy()
+    ref = order[ref]
+    np.testing.assert_array_equal(np.sort(ours), np.sort(ref))
+
+
+def test_class_aware_nms_reference_semantics():
+    """Full two-stage pipeline vs a numpy re-implementation of the
+    reference's DetectionProposal logic (detection.py:482-567)."""
+    n, c = 200, 5
+    boxes = _random_boxes(n)
+    cls_pred = RNG.uniform(0, 1, (n, c)).astype(np.float32) ** 3
+    min_conf, nms_t, post_t, max_out = 0.3, 0.4, 0.6, 100
+
+    got = np.asarray(class_aware_nms(
+        jnp.asarray(cls_pred), jnp.asarray(boxes),
+        min_confidence=min_conf, nms_iou_threshold=nms_t,
+        post_iou_threshold=post_t, max_outputs=max_out,
+        candidates_per_class=n))
+
+    # numpy reference: per-class NMS then cross-class NMS
+    yxyx = np.asarray(cxcywh_to_yxyx(jnp.asarray(boxes)))
+    survivors = []  # (score, anchor, class)
+    for ci in range(c):
+        idx = np.where(cls_pred[:, ci] >= min_conf)[0]
+        keep = tf.image.non_max_suppression(
+            yxyx[idx], cls_pred[idx, ci], max_out, nms_t).numpy()
+        for a in idx[keep]:
+            survivors.append((cls_pred[a, ci], a, ci))
+    survivors.sort(key=lambda t: -t[0])
+    s_yxyx = np.stack([yxyx[a] for _, a, _ in survivors])
+    s_scores = np.array([s for s, _, _ in survivors], np.float32)
+    keep2 = tf.image.non_max_suppression(s_yxyx, s_scores, max_out,
+                                         post_t).numpy()
+    want = sorted(((survivors[k][1], survivors[k][2]) for k in keep2))
+
+    valid = got[:, 0] != -1
+    got_pairs = []
+    for row in got[valid]:
+        dist = np.abs(boxes - row[:4]).sum(1)
+        got_pairs.append((int(np.argmin(dist)), int(row[4])))
+    assert sorted(got_pairs) == want
+
+
+def test_batched_nms_shapes():
+    boxes = jnp.asarray(np.stack([_random_boxes(50)] * 3))
+    cls = jnp.asarray(RNG.uniform(0, 1, (3, 50, 5)).astype(np.float32))
+    out = batched_class_aware_nms(cls, boxes, min_confidence=0.5,
+                                  max_outputs=10, candidates_per_class=32)
+    assert out.shape == (3, 10, 6)
+
+
+# ---------- morphology ----------
+
+def test_semantic_smoothing_is_min_then_max():
+    x = RNG.rand(1, 12, 12, 3).astype(np.float32)
+    got = np.asarray(semantic_smoothing(jnp.asarray(x), kernel_size=3,
+                                        weight=2.0))
+    eroded = tf.nn.erosion2d(tf.constant(x), tf.zeros((3, 3, 3)),
+                             [1, 1, 1, 1], [1, 1, 1, 1], 'SAME',
+                             'NHWC').numpy()
+    ref = tf.nn.dilation2d(tf.constant(eroded), tf.zeros((3, 3, 3)),
+                           [1, 1, 1, 1], [1, 1, 1, 1], 'SAME',
+                           'NHWC').numpy() * 2.0
+    np.testing.assert_allclose(got, ref, atol=1e-6)
