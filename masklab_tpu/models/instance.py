@@ -1,0 +1,170 @@
+"""Instance-mask branch: level routing, pyramid RoI-align, mask head,
+train-time mask target assignment.
+
+Flax / pure-JAX re-design of engine/layers/instance.py:
+  * ``mask_distribute`` (instance.py:32-74): FPN-level routing
+    k = floor(log2(sqrt(w*h) / base_size)) clipped to [0, max_k];
+  * ``pyramid_roi_align`` (instance.py:77-147): the reference partitioned
+    boxes per level with dynamic shapes and re-batched via MoldBatch; here
+    every box is cropped from *every* routed level with fixed slots and the
+    result selected by its level id — static shapes, identical values;
+  * ``MaskSubNet`` (instance.py:158-240): per-level weight stacks of
+    depth x [SE? -> Conv -> GN], a 2x2-stride-2 transposed conv, and a 1x1
+    per-class sigmoid output; applied to all boxes per level then selected;
+  * ``assign_masks`` (instance.py:296-386): IoU >= 0.5 class-consistent
+    matching, gt-mask crops written as class-id-valued targets;
+  * ``trim_instances`` (instance.py:250-285): per-box predicted-class
+    channel selection (fixed slots instead of gather + MoldBatch).
+"""
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.layers import HeadBlock, normal_init
+from ..ops.boxes import cxcywh_to_yxyx, pairwise_iou
+from ..ops.roi_align import crop_and_resize, crop_and_resize_indexed
+
+EPS = 1e-7
+
+
+def mask_distribute(boxes: jnp.ndarray, max_k: int = 2,
+                    base_size: float = 36.0) -> jnp.ndarray:
+    """Route each box to a pyramid level -> int level ids [..., K].
+
+    ``boxes`` [..., K, >=4] rows (cx, cy, w, h, ...); padded rows
+    (cx == -1) map to level -1.
+    """
+    w, h = boxes[..., 2], boxes[..., 3]
+    size = jnp.sqrt(jnp.maximum(w * h, 0.0))
+    delta_k = jnp.log((size + EPS) / (base_size + EPS)) / jnp.log(2.0)
+    k = jnp.clip(jnp.floor(delta_k), 0, max_k)
+    return jnp.where(boxes[..., 0] == -1.0, -1.0, k).astype(jnp.int32)
+
+
+def pyramid_roi_align(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
+                      levels: jnp.ndarray, image_hw: Tuple[int, int],
+                      crop_size=(14, 14)) -> List[jnp.ndarray]:
+    """Crop every box from every level -> list of [B, K, ch, cw, C].
+
+    The caller selects per-box crops with ``levels``; keeping the per-level
+    stack explicit lets the per-level mask head weights apply first
+    (matching the reference's per-level MaskSubNet blocks) before selection.
+    Box coordinates are normalized by the *image* size, exactly like
+    PyramidRoiAlign -> NormalizeBoxes(shape=image) (instance.py:115-116).
+    """
+    norm = cxcywh_to_yxyx(boxes[..., :4], image_hw)       # [B, K, 4]
+    crops = []
+    for fmap in features:
+        crops.append(jax.vmap(
+            lambda f, b: crop_and_resize(f, b, crop_size))(fmap, norm))
+    return crops
+
+
+class MaskSubNet(nn.Module):
+    """Per-level mask heads; returns per-level mask stacks."""
+    num_blocks: int
+    num_classes: int
+    num_depth: int = 4
+    num_features: int = 256
+    use_separable_conv: bool = False
+    expand_ratio: float = 4.0
+    use_squeeze_excite: bool = False
+    squeeze_ratio: float = 16.0
+    groups: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, level_crops: Sequence[jnp.ndarray]):
+        """level_crops: per-level [B, K, h, w, C] -> per-level
+        [B, K, 2h, 2w, num_classes]."""
+        outs = []
+        for idx, crop in enumerate(level_crops):
+            b, k = crop.shape[0], crop.shape[1]
+            x = crop.reshape((b * k,) + crop.shape[2:])
+            x = HeadBlock(self.num_depth, self.num_features,
+                          self.use_separable_conv, self.expand_ratio,
+                          self.use_squeeze_excite, self.squeeze_ratio,
+                          self.groups, self.dtype, name=f'block_{idx}')(x)
+            x = nn.ConvTranspose(self.num_features, (2, 2), strides=(2, 2),
+                                 padding='SAME',
+                                 kernel_init=normal_init(0.01),
+                                 dtype=self.dtype,
+                                 name=f'upsample_{idx}')(x)
+            x = nn.relu(x)
+            x = nn.Conv(self.num_classes, (1, 1),
+                        kernel_init=normal_init(0.01), dtype=self.dtype,
+                        name=f'output_{idx}')(x)
+            x = nn.sigmoid(x)
+            outs.append(x.reshape((b, k) + x.shape[1:]))
+        return outs
+
+
+def select_by_level(per_level: Sequence[jnp.ndarray],
+                    levels: jnp.ndarray) -> jnp.ndarray:
+    """Pick each box's tensor from its routed level.
+
+    per_level: list of [B, K, ...]; levels [B, K] int (-1 = invalid, which
+    selects zeros).
+    """
+    stacked = jnp.stack(per_level, axis=0)               # [L, B, K, ...]
+    num_levels = stacked.shape[0]
+    onehot = jax.nn.one_hot(levels, num_levels, axis=0)  # [L, B, K]
+    extra = (1,) * (stacked.ndim - 3)
+    return jnp.sum(stacked * onehot.reshape(onehot.shape + extra), axis=0)
+
+
+def assign_masks(roi_boxes: jnp.ndarray, gt_boxes: jnp.ndarray,
+                 gt_masks: jnp.ndarray, mask_hw: Tuple[int, int],
+                 num_classes: int,
+                 match_iou_threshold: float = 0.5) -> jnp.ndarray:
+    """Build class-id-valued mask targets -> [B, R, mh, mw] int32.
+
+    roi_boxes [B,R,6], gt_boxes [B,G,6], gt_masks [B,G,H,W] (0/1 with -1
+    padding). Matches AssignMasks (instance.py:328-379): IoU of same-class
+    valid pairs, argmax-gt crop via crop_and_resize on the gt mask,
+    class-id where the crop > 0.5 else num_classes.
+    """
+    image_hw = gt_masks.shape[2:4]
+
+    def per_image(rois, gts, masks):
+        iou = pairwise_iou(gts[:, :4], rois[:, :4])       # [G, R]
+        valid = ((gts[:, None, 5] != -1.0) &
+                 (rois[None, :, 5] != -1.0)).astype(jnp.float32)
+        same_class = (gts[:, None, 4] == rois[None, :, 4]).astype(jnp.float32)
+        iou = iou * valid * same_class
+        matched = jnp.max(iou, axis=0) >= match_iou_threshold   # [R]
+        gt_idx = jnp.argmax(iou, axis=0)                        # [R]
+        norm = cxcywh_to_yxyx(rois[:, :4], image_hw)
+        crops = crop_and_resize_indexed(
+            masks[..., None].astype(jnp.float32), norm, gt_idx,
+            mask_hw)[..., 0]                                   # [R, mh, mw]
+        cls = jnp.where(matched, gts[gt_idx, 4], float(num_classes))
+        target = jnp.where(crops > 0.5, cls[:, None, None],
+                           float(num_classes))
+        return target.astype(jnp.int32)
+
+    return jax.vmap(per_image)(roi_boxes.astype(jnp.float32),
+                               gt_boxes.astype(jnp.float32),
+                               gt_masks)
+
+
+def trim_instances(roi_boxes: jnp.ndarray,
+                   roi_masks: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Select each box's predicted-class mask channel.
+
+    roi_boxes [B,R,6] (class at index 4, -1 padding); roi_masks
+    [B,R,h,w,C]. Returns (boxes [B,R,6], masks [B,R,h,w]) where invalid
+    rows keep -1 padding, matching TrimInstances + MoldBatch output.
+    """
+    num_classes = roi_masks.shape[-1]
+    cls = roi_boxes[..., 4]
+    valid = cls != -1.0
+    ch = jnp.clip(cls.astype(jnp.int32), 0, num_classes - 1)
+    masks = jnp.take_along_axis(
+        roi_masks, ch[:, :, None, None, None], axis=-1)[..., 0]
+    masks = jnp.where(valid[:, :, None, None], masks, -1.0)
+    return roi_boxes, masks

@@ -1,0 +1,149 @@
+"""Backbone zoo: registry, extras (P6/P7), preprocessing, freeze masks.
+
+TPU-native equivalent of ``engine/backbone/base.py``:
+  * ``BACKBONE_REGISTRY`` replaces the Keras model zoo + BACKBONE_LAYERS
+    endpoint map (base.py:104-182) — each flax body returns C1..C5 directly;
+  * ``BackboneNetwork`` applies the per-backbone preprocessing combo
+    in-graph (base.py:190-279), selects the configured endpoints, and
+    appends the stride-64/128 P6/P7 extra convs with GroupNorm between them
+    (base.py:292-314; note P6 output is the *pre*-GroupNorm conv activation
+    and mobilenet uses the zero-pad + VALID variant);
+  * ``freeze_mask`` replaces ``freeze_backbone`` (base.py:319-345): instead
+    of mutating layer.trainable it produces a boolean pytree over parameters
+    for optimizer masking (the functional JAX equivalent).
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..layers import GroupNorm
+from .mobilenet import MobileNetV1
+from .preprocess import PREPROCESS_COMBOS, preprocess_for
+from .resnet import (resnet50, resnet101, resnext50, seresnet34, seresnet50,
+                     seresnext50)
+from .vgg import VGG16
+
+# name -> (body factory, prior-grid padding mode)
+BACKBONE_REGISTRY: Dict[str, Callable] = {
+    'mobilenet': lambda dtype: MobileNetV1(dtype=dtype),
+    'resnet50': lambda dtype: resnet50(dtype),
+    'resnet50v2': lambda dtype: resnet50(dtype),     # v2 preact variant: TODO
+    'resnet101v2': lambda dtype: resnet101(dtype),
+    'resnext50': lambda dtype: resnext50(dtype),
+    'seresnet34': lambda dtype: seresnet34(dtype),
+    'seresnet50': lambda dtype: seresnet50(dtype),
+    'seresnext50': lambda dtype: seresnext50(dtype),
+    'vgg16': lambda dtype: VGG16(dtype=dtype),
+}
+
+
+def grid_padding(backbone_type: str) -> str:
+    """'valid' (floor) grid rounding for mobilenet, 'same' otherwise
+    (PriorLayer padding parameter, detection.py:240-243)."""
+    return 'valid' if backbone_type.lower() == 'mobilenet' else 'same'
+
+
+class BackboneNetwork(nn.Module):
+    """Preprocess -> body -> endpoint selection -> P6/P7 extras.
+
+    Returns a dict {name: tensor} for every name in ``backbone_outputs``.
+    """
+    backbone_type: str = 'resnet50'
+    backbone_outputs: Sequence[str] = ('C3', 'C4', 'C5', 'P6', 'P7')
+    num_features: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, train: bool = False):
+        name = self.backbone_type.lower()
+        if name not in BACKBONE_REGISTRY:
+            raise NotImplementedError(
+                f'backbone_type must be one of {sorted(BACKBONE_REGISTRY)}')
+        x = preprocess_for(name, images)
+        body = BACKBONE_REGISTRY[name](self.dtype)
+        endpoints = body(x, train=train)
+
+        outputs = {k: v for k, v in endpoints.items()
+                   if k in self.backbone_outputs}
+        # the last included C endpoint feeds the extras (base.py:294,307)
+        last_c = [endpoints[k] for k in ('C1', 'C2', 'C3', 'C4', 'C5')
+                  if k in self.backbone_outputs][-1]
+
+        need_extras = ('P6' in self.backbone_outputs or
+                       'P7' in self.backbone_outputs)
+        if need_extras:
+            if name == 'mobilenet':
+                z6 = jnp.pad(last_c, [(0, 0), (0, 1), (0, 1), (0, 0)])
+                p6 = nn.Conv(self.num_features, (3, 3), strides=(2, 2),
+                             padding='VALID', dtype=self.dtype,
+                             name='extras_P6_conv')(z6)
+            else:
+                p6 = nn.Conv(self.num_features, (3, 3), strides=(2, 2),
+                             padding='SAME', dtype=self.dtype,
+                             name='extras_P6_conv')(last_c)
+            p6 = nn.relu(p6)
+            if 'P6' in self.backbone_outputs:
+                outputs['P6'] = p6
+            if 'P7' in self.backbone_outputs:
+                # reference GroupNormalization default groups=32
+                g6 = GroupNorm(32, self.dtype, name='extras_P6_norm')(p6)
+                if name == 'mobilenet':
+                    z7 = jnp.pad(g6, [(0, 0), (0, 1), (0, 1), (0, 0)])
+                    p7 = nn.Conv(self.num_features, (3, 3), strides=(2, 2),
+                                 padding='VALID', dtype=self.dtype,
+                                 name='extras_P7_conv')(z7)
+                else:
+                    p7 = nn.Conv(self.num_features, (3, 3), strides=(2, 2),
+                                 padding='SAME', dtype=self.dtype,
+                                 name='extras_P7_conv')(g6)
+                outputs['P7'] = nn.relu(p7)
+        return outputs
+
+
+# ---- progressive-unfreeze masks ----
+
+# per family: map freeze depth 'C1'..'C5' -> regex matching *frozen* top-level
+# submodule names inside the backbone scope.
+_RESNET_STAGE_OF_DEPTH = {'C1': 1, 'C2': 2, 'C3': 3, 'C4': 4, 'C5': 5}
+_MOBILENET_LAST_FROZEN_BLOCK = {'C1': 1, 'C2': 3, 'C3': 5, 'C4': 11, 'C5': 13}
+_VGG_LAST_FROZEN_BLOCK = {'C1': 2, 'C2': 3, 'C3': 4, 'C4': 5, 'C5': 5}
+
+
+def module_frozen(backbone_type: str, module_name: str,
+                  freeze_depth: str) -> bool:
+    """Is a backbone submodule (e.g. 'stage3', 'dw7', 'block2_conv1') frozen
+    at the given depth? Extras (P6/P7) are never frozen, matching the
+    reference where layers after the C5 tap stay trainable (base.py:337-341).
+    """
+    if freeze_depth == 'C0':
+        return False
+    if module_name.startswith('extras'):
+        return False
+    bt = backbone_type.lower()
+    if bt == 'mobilenet':
+        if module_name == 'stem':
+            return True
+        m = re.match(r'(?:dw|pw)(\d+)', module_name)
+        if m:
+            return int(m.group(1)) <= _MOBILENET_LAST_FROZEN_BLOCK[freeze_depth]
+        return False
+    if bt == 'vgg16':
+        m = re.match(r'block(\d+)_', module_name)
+        if m:
+            return int(m.group(1)) <= _VGG_LAST_FROZEN_BLOCK[freeze_depth]
+        return False
+    # resnet family: stem + stage{2..5}
+    if module_name.startswith('stem'):
+        return True
+    m = re.match(r'stage(\d+)', module_name)
+    if m:
+        return int(m.group(1)) <= _RESNET_STAGE_OF_DEPTH[freeze_depth]
+    return False
+
+
+__all__ = ['BACKBONE_REGISTRY', 'BackboneNetwork', 'grid_padding',
+           'module_frozen', 'preprocess_for', 'PREPROCESS_COMBOS']

@@ -179,9 +179,11 @@ def test_semantic_smoothing_is_min_then_max():
     got = np.asarray(semantic_smoothing(jnp.asarray(x), kernel_size=3,
                                         weight=2.0))
     eroded = tf.nn.erosion2d(tf.constant(x), tf.zeros((3, 3, 3)),
-                             [1, 1, 1, 1], [1, 1, 1, 1], 'SAME',
-                             'NHWC').numpy()
+                             strides=[1, 1, 1, 1], padding='SAME',
+                             data_format='NHWC',
+                             dilations=[1, 1, 1, 1]).numpy()
     ref = tf.nn.dilation2d(tf.constant(eroded), tf.zeros((3, 3, 3)),
-                           [1, 1, 1, 1], [1, 1, 1, 1], 'SAME',
-                           'NHWC').numpy() * 2.0
+                           strides=[1, 1, 1, 1], padding='SAME',
+                           data_format='NHWC',
+                           dilations=[1, 1, 1, 1]).numpy() * 2.0
     np.testing.assert_allclose(got, ref, atol=1e-6)
