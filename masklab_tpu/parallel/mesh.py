@@ -1,0 +1,81 @@
+"""Device-mesh data parallelism (the ParallelModel replacement).
+
+The reference's only parallelism was single-host in-graph replication over
+N GPUs with a CPU-side split/merge (engine/parallel.py:53-107, SURVEY.md
+§2.6). The TPU-native equivalent is a ``jax.sharding.Mesh`` with a ``data``
+axis (and an optional ``model`` axis for tensor-parallel extensions): the
+train step is jitted with the batch sharded over ``data`` and parameters
+replicated; XLA GSPMD inserts the gradient ``psum`` over ICI automatically.
+This is strictly more capable than ParallelModel — multi-host/multi-slice
+falls out of ``jax.distributed`` initialization with no framework changes.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh. Defaults to all devices on 'data'."""
+    devices = devices if devices is not None else jax.devices()
+    if data is None:
+        data = len(devices) // model
+    devs = np.asarray(devices[:data * model]).reshape(data, model)
+    return Mesh(devs, axis_names=('data', 'model'))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis sharded over 'data', rest replicated."""
+    return NamedSharding(mesh, P('data'))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
+    """Device-put a host batch with its leading axis sharded over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh), batch)
+
+
+def make_parallel_train_step(model, mesh: Mesh,
+                             with_metrics: bool = True) -> Callable:
+    """Jit the train step with explicit state/batch shardings over the mesh.
+
+    Parameters/optimizer state are replicated; each batch tensor is sharded
+    on its leading (batch) axis. GSPMD emits the cross-device gradient
+    reduction (replacing ParallelModel's implicit CPU merge with an ICI
+    all-reduce).
+    """
+    from ..train.steps import compute_losses
+
+    repl = replicate_sharding(mesh)
+    data = batch_sharding(mesh)
+
+    def train_step(state, batch):
+        def loss_fn(params):
+            variables = {'params': params}
+            if state.batch_stats:
+                variables['batch_stats'] = state.batch_stats
+            return compute_losses(model, variables, batch,
+                                  state.box_loss_state, train=True,
+                                  with_metrics=with_metrics)
+
+        grads, (new_bs, new_box_state, metrics) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        new_state = new_state.replace(batch_stats=new_bs,
+                                      box_loss_state=new_box_state)
+        return new_state, metrics
+
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,))

@@ -1,0 +1,93 @@
+"""ETL -> dataset -> generator pipeline on a synthetic imglab dataset."""
+import os
+
+import numpy as np
+import pytest
+
+from masklab_tpu.data import (MaskLabDataset, MaskLabGenerator,
+                              imglabformat_to_dataframe,
+                              dataframe_to_imglabformat, make_synthetic_dataset,
+                              pad_boxes_to, process_dataset)
+
+
+@pytest.fixture(scope='module')
+def data_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp('roadset'))
+    make_synthetic_dataset(d, num_images=6, image_hw=(256, 320), seed=0)
+    process_dataset(d, num_workers=1)
+    return d
+
+
+def test_etl_outputs_exist(data_dir):
+    proc = os.path.join(data_dir, 'processed')
+    for f in ('label_exists.tsv', 'boxes.tsv', 'train.csv', 'valid.csv'):
+        assert os.path.exists(os.path.join(proc, f)), f
+    assert os.path.isdir(os.path.join(proc, 'semantic'))
+    assert os.path.isdir(os.path.join(proc, 'instance'))
+
+
+def test_dataset_single_sample(data_dir):
+    ds = MaskLabDataset(data_dir=data_dir, min_area=100.0)
+    assert len(ds) == 6
+    sample = ds[0]
+    assert sample['images'].shape == (256, 320, 3)
+    assert sample['semantic'].shape == (256, 320, 3)
+    assert sample['semantic_exist'].shape == (3,)
+    assert sample['detection'].shape[1] == 6
+    # instance masks are full-frame re-rasterized
+    if len(sample['instance']):
+        assert sample['instance'].shape[1:] == (256, 320)
+        assert sample['instance'].max() <= 1
+
+
+def test_dataset_batch_padding(data_dir):
+    ds = MaskLabDataset(data_dir=data_dir, min_area=100.0)
+    batch = ds[0:4]
+    assert batch['images'].shape[0] == 4
+    det = batch['detection']
+    assert det.shape[2] == 6
+    # padded rows are -1
+    row_valid = det[..., 0] != -1
+    assert row_valid.any()
+    assert (det[~row_valid] == -1).all()
+
+
+def test_generator_batches_and_rescale(data_dir):
+    ds = MaskLabDataset(data_dir=data_dir, min_area=100.0)
+    gen = MaskLabGenerator(ds.get_config(), scale_ratio=(0.4, 0.6),
+                           batch_size=2, shuffle=False)
+    batch = gen[0]
+    h, w = batch['images'].shape[1:3]
+    assert h % 32 == 0 and w % 32 == 0
+    assert 0.4 * 256 - 32 <= h <= 0.6 * 256
+    assert set(batch) == {'images', 'gt_seg', 'gt_seg_exist', 'gt_boxes',
+                          'gt_boxes_exist', 'gt_masks'}
+    # valid boxes were rescaled into the new resolution
+    boxes = batch['gt_boxes']
+    valid = boxes[..., 5] > 0
+    if valid.any():
+        assert boxes[valid][:, 0].max() <= w
+        assert boxes[valid][:, 1].max() <= h
+
+
+def test_pad_boxes_to_static_slots(data_dir):
+    ds = MaskLabDataset(data_dir=data_dir, min_area=100.0)
+    gen = MaskLabGenerator(ds.get_config(), batch_size=2, shuffle=False)
+    batch = pad_boxes_to(gen[0], 12)
+    assert batch['gt_boxes'].shape[1] == 12
+    assert batch['gt_masks'].shape[1] == 12
+    assert (batch['gt_boxes'][:, -1] == -1).all()
+
+
+def test_imglab_roundtrip(data_dir):
+    import json
+    path = os.path.join(data_dir, 'labels', 'car', 'labels.json')
+    if not os.path.exists(path):
+        pytest.skip('no car labels in this seed')
+    with open(path) as f:
+        payload = json.load(f)
+    df = imglabformat_to_dataframe(payload)
+    assert set(df.columns) == {'file_name', 'segmentation', 'name', 'bbox'}
+    back = dataframe_to_imglabformat(df, image_wh=(320, 256))
+    df2 = imglabformat_to_dataframe(back)
+    assert len(df2) == len(df)

@@ -1,4 +1,5 @@
-"""End-to-end model forward passes (small shapes, CPU)."""
+"""End-to-end model forward passes (small shapes, CPU, everything jitted —
+the test host has a single core, so eager op-by-op dispatch is unusable)."""
 import numpy as np
 import pytest
 
@@ -6,13 +7,12 @@ import jax
 import jax.numpy as jnp
 
 from masklab_tpu import ModelConfiguration
-from masklab_tpu.models import (assign_boxes, assign_masks, assign_seg,
-                                build_masklab, mask_distribute,
+from masklab_tpu.data.synthetic import make_random_batch
+from masklab_tpu.losses import BoxLossState
+from masklab_tpu.models import (assign_boxes, build_masklab, mask_distribute,
                                 trim_instances)
-from masklab_tpu.losses import (BoxLossState, box_loss, class_loss,
-                                mask_loss, seg_loss)
-from masklab_tpu.metrics import class_binary_iou, detection_iou_metric
 from masklab_tpu.prior import generate_priors, priors_from_config
+from masklab_tpu.train.steps import compute_losses
 
 
 def small_config(backbone='mobilenet'):
@@ -38,7 +38,7 @@ def model_and_params():
     cfg = small_config()
     model = build_masklab(cfg)
     images = jnp.zeros((1, 128, 128, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), images)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images)
     return cfg, model, variables
 
 
@@ -46,7 +46,7 @@ def test_inference_forward_shapes(model_and_params):
     cfg, model, variables = model_and_params
     images = jnp.asarray(
         np.random.RandomState(0).rand(1, 128, 128, 3) * 255, jnp.float32)
-    out = model.apply(variables, images)
+    out = jax.jit(model.apply)(variables, images)
     n_classes = len(cfg.dataset.instance_labels)
     prior = priors_from_config(cfg)
     priors = generate_priors(128, 128, prior, padding='valid')
@@ -56,49 +56,52 @@ def test_inference_forward_shapes(model_and_params):
     assert out['roi_masks'].shape == (1, 8, 14, 14, n_classes)
     assert out['seg_pred'].shape[0] == 1
     assert out['seg_pred'].shape[-1] == len(cfg.dataset.semantic_labels)
+    cls = np.asarray(out['cls_pred'])
+    assert (cls >= 0).all() and (cls <= 1).all()
 
 
-def test_trainer_forward_and_losses(model_and_params):
+def test_trainer_losses_finite(model_and_params):
     cfg, model, variables = model_and_params
-    rng = np.random.RandomState(1)
-    b, g = 2, 3
-    images = jnp.asarray(rng.rand(b, 128, 128, 3) * 255, jnp.float32)
-    gt_boxes = np.full((b, g, 6), -1.0, np.float32)
-    gt_boxes[0, 0] = [40, 40, 30, 30, 1, 1.0]
-    gt_boxes[0, 1] = [90, 80, 40, 24, 0, 1.0]
-    gt_boxes[1, 0] = [64, 64, 50, 50, 3, 1.0]
-    gt_boxes = jnp.asarray(gt_boxes)
-    gt_masks = jnp.asarray(
-        (rng.rand(b, g, 128, 128) > 0.5).astype(np.float32))
-    gt_seg = jnp.asarray((rng.rand(b, 128, 128, 3) > 0.5).astype(np.float32))
-    gt_seg_exist = jnp.ones((b, 3))
-    gt_boxes_exist = jnp.ones((b, 5))
+    batch = {k: jnp.asarray(v)
+             for k, v in make_random_batch(2, (128, 128), 3).items()}
 
-    out, mutated = model.apply(
-        variables, images, gt_boxes, train=True,
-        method='trainer_outputs', mutable=['batch_stats'])
+    @jax.jit
+    def run(variables, batch):
+        return compute_losses(model, variables, batch,
+                              BoxLossState.create(cfg.loss.box_loss_beta),
+                              train=True, with_metrics=True)
 
-    cls_true, loc_true, assign_mask = jax.vmap(
-        lambda gtb: assign_boxes(gtb, out['priors'], 5))(gt_boxes)
-    cl = class_loss(cls_true, out['cls_pred'], assign_mask, gt_boxes_exist,
-                    weight=cfg.loss.cls_loss_weight)
-    bl, state = box_loss(loc_true, out['loc_pred'], assign_mask,
-                         BoxLossState.create(cfg.loss.box_loss_beta))
-    targets = assign_masks(out['roi_boxes'], gt_boxes, gt_masks,
-                           out['roi_masks'].shape[2:4], 5)
-    ml = mask_loss(targets, out['roi_masks'])
-    seg_assigned = assign_seg(gt_seg, out['seg_pred'])
-    sl = seg_loss(seg_assigned, out['seg_pred'], gt_seg_exist)
+    total, (bs, box_state, metrics) = run(variables, batch)
+    assert np.isfinite(float(total))
+    for k in ('class_loss', 'box_loss', 'mask_loss', 'seg_loss',
+              'detection_precision', 'other_road_iou'):
+        assert np.isfinite(float(metrics[k])), k
+    # box-loss moving stats moved off their init values
+    assert not np.allclose(np.asarray(box_state.moving_mean),
+                           cfg.loss.box_loss_beta)
 
-    for name, loss in (('cls', cl), ('box', bl), ('mask', ml), ('seg', sl)):
-        arr = np.asarray(loss)
-        assert arr.shape == (b,), name
-        assert np.isfinite(arr).all(), name
 
-    iou = class_binary_iou(seg_assigned, out['seg_pred'])
-    assert iou.shape == (b, 3)
-    p, r, f = detection_iou_metric(out['metric_proposals'], gt_boxes)
-    assert p.shape == (b,)
+def test_gradients_flow_everywhere(model_and_params):
+    cfg, model, variables = model_and_params
+    batch = {k: jnp.asarray(v)
+             for k, v in make_random_batch(1, (128, 128), 2, seed=3).items()}
+
+    @jax.jit
+    def grad_fn(params):
+        def loss_fn(p):
+            v = dict(variables, params=p)
+            total, _ = compute_losses(model, v, batch, BoxLossState.create(),
+                                      train=True, with_metrics=False)
+            return total
+        return jax.grad(loss_fn)(params)
+
+    grads = grad_fn(variables['params'])
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    nonzero = sum(bool(np.abs(np.asarray(g)).sum() > 0) for _, g in flat)
+    # the vast majority of parameters receive gradient signal
+    assert nonzero / len(flat) > 0.7
+    for path, g in flat:
+        assert np.isfinite(np.asarray(g)).all(), jax.tree_util.keystr(path)
 
 
 def test_assign_boxes_semantics():
@@ -106,37 +109,31 @@ def test_assign_boxes_semantics():
                           [10, 10, 22, 22], [90, 90, 8, 8]], jnp.float32)
     gt = jnp.asarray([[10, 10, 20, 20, 2, 1.0],
                       [-1, -1, -1, -1, -1, -1]], jnp.float32)
-    cls_true, loc_true, mask = assign_boxes(gt, priors, 5)
-    # anchor 0: perfect match -> positive, class 2
-    assert mask[0, 0] == 0
+    cls_true, loc_true, mask = jax.jit(
+        lambda g, p: assign_boxes(g, p, 5))(gt, priors)
+    assert mask[0, 0] == 0            # perfect match -> positive
     assert cls_true[0, 2] == 1
     np.testing.assert_allclose(np.asarray(loc_true[0]), 0, atol=1e-6)
-    # anchor 1: no overlap -> negative background
-    assert mask[1, 0] == 1
-    # anchor 2: IoU ~0.82 >= 0.5 -> positive
-    assert mask[2, 0] == 0
-    # anchor 3: background
+    assert mask[1, 0] == 1            # no overlap -> negative
+    assert mask[2, 0] == 0            # IoU ~0.83 -> positive
     assert mask[3, 0] == 1
 
 
-def test_assign_boxes_ignore_band():
-    # IoU in [0.4, 0.5) -> ignore (-1)
-    priors = jnp.asarray([[14, 10, 20, 20]], jnp.float32)  # shifted overlap
+def test_assign_boxes_force_and_conf_gate():
     gt = jnp.asarray([[10, 10, 20, 20, 0, 1.0]], jnp.float32)
-    # iou = (16*20)/(2*400-320) = 320/480 = 0.667 -> positive. shift more:
-    priors2 = jnp.asarray([[22, 10, 20, 20]], jnp.float32)
-    # inter = 8*20 = 160, union = 640 -> 0.25; best-anchor force still wins
-    _, _, m2 = assign_boxes(gt, priors2, 5)
+    priors2 = jnp.asarray([[22, 10, 20, 20]], jnp.float32)  # IoU 0.25
+    fn = jax.jit(lambda g, p: assign_boxes(g, p, 5))
+    _, _, m2 = fn(gt, priors2)
     assert m2[0, 0] == 0  # forced best-anchor match
-    gt2 = jnp.asarray([[10, 10, 20, 20, 0, 0.0]], jnp.float32)  # conf 0
-    _, _, m3 = assign_boxes(gt2, priors2, 5)
-    assert m3[0, 0] == 1  # no force for conf<=0, plain background
+    gt2 = jnp.asarray([[10, 10, 20, 20, 0, 0.0]], jnp.float32)
+    _, _, m3 = fn(gt2, priors2)
+    assert m3[0, 0] == 1  # conf<=0 -> no force
 
 
 def test_mask_distribute_levels():
-    boxes = jnp.asarray([[[0, 0, 36, 36, 0, 1],      # size 36 -> k=0
-                          [0, 0, 72, 72, 0, 1],      # size 72 -> k=1
-                          [0, 0, 300, 300, 0, 1],    # huge -> clipped k=2
+    boxes = jnp.asarray([[[0, 0, 36, 36, 0, 1],
+                          [0, 0, 72, 72, 0, 1],
+                          [0, 0, 300, 300, 0, 1],
                           [-1, -1, -1, -1, -1, -1]]], jnp.float32)
     k = mask_distribute(boxes, max_k=2, base_size=36)
     np.testing.assert_array_equal(np.asarray(k[0]), [0, 1, 2, -1])
