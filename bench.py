@@ -1,0 +1,68 @@
+"""Headline benchmark: MaskLab joint inference throughput at 512 px.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target (BASELINE.md): >= 30 images/sec/chip for full joint
+instance + semantic inference at 512 px. vs_baseline = value / 30.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_FPS = 30.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from masklab_tpu import ModelConfiguration
+    from masklab_tpu.models import build_masklab
+
+    cfg = ModelConfiguration()
+    cfg.backbone.backbone_type = os.environ.get('BENCH_BACKBONE', 'mobilenet')
+    # production inference setting: bf16 convs on the MXU, fp32 postprocess
+    cfg.compute.compute_dtype = os.environ.get('BENCH_DTYPE', 'bfloat16')
+    model = build_masklab(cfg)
+
+    batch = int(os.environ.get('BENCH_BATCH', '4'))
+    size = int(os.environ.get('BENCH_SIZE', '512'))
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, size, size, 3) * 255, jnp.float32)
+
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images[:1])
+    forward = jax.jit(lambda v, x: model.apply(v, x))
+
+    # warmup / compile
+    out = forward(variables, images)
+    jax.block_until_ready(out)
+
+    iters = int(os.environ.get('BENCH_ITERS', '20'))
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = forward(variables, images)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    fps = batch * iters / elapsed
+    latency_ms = elapsed / iters * 1000.0
+    result = {
+        'metric': f'masklab_joint_inference_images_per_sec_{size}px',
+        'value': round(fps, 2),
+        'unit': 'images/sec/chip',
+        'vs_baseline': round(fps / BASELINE_FPS, 3),
+        'extra': {
+            'batch': batch,
+            'p50_batch_latency_ms': round(latency_ms, 2),
+            'backbone': cfg.backbone.backbone_type,
+            'dtype': cfg.compute.compute_dtype,
+            'device': str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,112 @@
+"""In-graph inference postprocessing: trim, smooth, upsample, mask paste.
+
+Static-shape re-design of the deployment graph tail that
+``load_masklab_inference_model_from_h5`` appends (retinamasklab.py:598-643)
+plus ``CropAndPadMask`` (misc.py:354-401):
+
+  * per-channel SemanticSmoothing with configured kernels/weights;
+  * ``upsample_output`` (misc.py:164-196): boxes rescaled to the original
+    resolution and int-cast, confidence x100, masks binarized, semantics
+    align-corners-upsampled then thresholded. The reference multiplied
+    cx/w by the *height* ratio and cy/h by the *width* ratio (misc.py:179-183)
+    — only correct because its downsample preserves aspect; we use the
+    per-axis ratios (identical result under aspect-preserving resize);
+  * ``crop_and_pad_masks``: each RoI mask resized into its box and pasted
+    into full-frame coordinates. The reference's dynamic per-box
+    resize+pad becomes two per-box interpolation matmuls (paste = the
+    transpose of RoI-align) keeping only boxes with conf >= 50 — the
+    threshold works because confidences were scaled x100 (misc.py:367-370).
+"""
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.morphology import semantic_smoothing
+from ..ops.resize import resize_bilinear
+
+
+def smooth_semantics(seg_pred: jnp.ndarray,
+                     kernel_sizes: Sequence[int],
+                     weights: Sequence[float]) -> jnp.ndarray:
+    """Per-channel erosion/dilation smoothing (retinamasklab.py:619-627)."""
+    chans = []
+    for idx, (k, w) in enumerate(zip(kernel_sizes, weights)):
+        chans.append(semantic_smoothing(seg_pred[..., idx:idx + 1],
+                                        kernel_size=int(k), weight=float(w)))
+    return jnp.concatenate(chans, axis=-1)
+
+
+def upsample_output(roi_boxes: jnp.ndarray, roi_masks: jnp.ndarray,
+                    semantic: jnp.ndarray,
+                    src_hw: Tuple[int, int],
+                    dst_hw: Tuple[int, int]):
+    """Restore outputs to the original resolution (UpSampleOutput)."""
+    ry = dst_hw[0] / src_hw[0]
+    rx = dst_hw[1] / src_hw[1]
+    cx, cy, w, h, label, conf = [roi_boxes[..., i] for i in range(6)]
+    boxes = jnp.stack([
+        (cx * rx).astype(jnp.int32), (cy * ry).astype(jnp.int32),
+        (w * rx).astype(jnp.int32), (h * ry).astype(jnp.int32),
+        label.astype(jnp.int32), (conf * 100).astype(jnp.int32)], axis=-1)
+    masks = (roi_masks > 0.5).astype(jnp.int32)
+    semantic = resize_bilinear(semantic, dst_hw[0], dst_hw[1],
+                               align_corners=True)
+    semantic = (semantic > 0.5).astype(jnp.int32)
+    return boxes, masks, semantic
+
+
+def _paste_weights(lo: jnp.ndarray, hi: jnp.ndarray, size: int,
+                   mask_size: int) -> jnp.ndarray:
+    """[K, size, mask_size] matrix pasting a mask row into [lo, hi).
+
+    Inverse of RoI-align sampling: output pixel y inside [ceil(lo), ceil(hi))
+    samples the mask at align-corners position
+    (y - ceil(lo)) * (mask_size - 1) / (span - 1), zero outside — matching
+    tf.image.resize(..., align_corners=True) into a (span, ...) window then
+    tf.pad (misc.py:388-393).
+    """
+    y = jnp.arange(size, dtype=jnp.float32)[None, :]            # [1, size]
+    start = jnp.ceil(lo)[:, None]                                # [K, 1]
+    stop = jnp.ceil(hi)[:, None]
+    span = jnp.maximum(stop - start, 1.0)
+    pos = (y - start) * (mask_size - 1) / jnp.maximum(span - 1.0, 1e-6)
+    inside = (y >= start) & (y < stop)
+    grid = jnp.arange(mask_size, dtype=jnp.float32)
+    wgt = jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - grid))
+    return wgt * inside[..., None]
+
+
+def crop_and_pad_masks(det_boxes: jnp.ndarray, roi_masks: jnp.ndarray,
+                       image_hw: Tuple[int, int],
+                       conf_threshold: float = 50.0) -> jnp.ndarray:
+    """Paste RoI masks into full-frame coordinates -> [B, K, H, W].
+
+    det_boxes [B,K,6] in *upsampled* units (conf x100 int). The adaptive
+    threshold mirrors CropAndPadMask (misc.py:366-370): if the best conf in
+    the batch is above 50, keep boxes >= 50, else keep everything.
+    """
+    h, w = image_hw
+    mh, mw = roi_masks.shape[-2], roi_masks.shape[-1]
+    boxes = jnp.maximum(det_boxes.astype(jnp.float32), 1.0)  # misc.py:374
+    best = jnp.max(det_boxes[..., -1].astype(jnp.float32))
+    thr = jnp.where(best > conf_threshold, conf_threshold, -100.0)
+    keep = det_boxes[..., -1].astype(jnp.float32) >= thr     # [B, K]
+
+    def per_image(bxs, msks, kp):
+        cx, cy, bw, bh = bxs[:, 0], bxs[:, 1], bxs[:, 2], bxs[:, 3]
+        x1 = jnp.clip(cx - bw / 2, 0, w)
+        x2 = jnp.clip(cx + bw / 2, 0, w)
+        y1 = jnp.clip(cy - bh / 2, 0, h)
+        y2 = jnp.clip(cy + bh / 2, 0, h)
+        wy = _paste_weights(y1, y2, h, mh)                   # [K, H, mh]
+        wx = _paste_weights(x1, x2, w, mw)                   # [K, W, mw]
+        m = msks.astype(jnp.float32)
+        rows = jnp.einsum('kym,kmn->kyn', wy, m)             # [K, H, mw]
+        full = jnp.einsum('kxn,kyn->kyx', wx, rows)          # [K, H, W]
+        return full * kp[:, None, None]
+
+    return jax.vmap(per_image)(boxes, roi_masks.astype(jnp.float32),
+                               keep.astype(jnp.float32))

@@ -1,0 +1,143 @@
+"""End-to-end jitted predictor: the deployable inference pipeline.
+
+Replaces the reference's reconstructed serving graph
+(load_masklab_inference_model_from_h5, retinamasklab.py:498-643, plus the
+visualization/summary heads from road_project/setup/serving.py:17-52):
+
+  uint8 image -> aspect-preserving downsample -> model -> NMS -> trim ->
+  per-channel semantic smoothing -> resize -> upsample to original
+  resolution -> full-frame mask paste [-> visualization overlay, analytics
+  table]
+
+Everything after JPEG decode runs inside ONE jitted XLA program per static
+input resolution. JPEG decode/encode happen host-side (cv2/PIL) — the only
+part of the reference's in-graph pipeline that stays on host, since XLA has
+no image codec; see serving.server for the wire format.
+"""
+from __future__ import annotations
+
+import io
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfiguration
+from ..models.instance import trim_instances
+from ..models.masklab import MaskLab
+from ..ops.resize import resize_bilinear, resize_like
+from .postprocess import crop_and_pad_masks, smooth_semantics, upsample_output
+from .summary import summary_output
+from .visualize import draw_boxes, draw_instance, draw_segmentation
+
+
+def _downsampled_hw(in_hw, resolution) -> Tuple[int, int]:
+    ratio = min(resolution[0] / in_hw[0], resolution[1] / in_hw[1])
+    return int(ratio * in_hw[0]), int(ratio * in_hw[1])
+
+
+class MaskLabPredictor:
+    """Holds model variables and jit-compiles the pipeline per input size."""
+
+    def __init__(self, model: MaskLab, variables: Dict,
+                 config: Optional[ModelConfiguration] = None,
+                 visualization: bool = False):
+        self.model = model
+        self.variables = variables
+        self.config = config or model.config
+        self.visualization = visualization
+        self._jitted = {}
+
+    # ---- pipeline builders ----
+
+    def _pipeline(self, in_hw: Tuple[int, int]):
+        cfg = self.config
+        post = cfg.postprocess
+        ds_hw = _downsampled_hw(in_hw, post.resolution)
+
+        def run(variables, images):
+            images = images.astype(jnp.float32)
+            down = resize_bilinear(images, ds_hw[0], ds_hw[1],
+                                   align_corners=True)
+            out = self.model.apply(variables, down)
+            det_boxes, inst_masks = trim_instances(out['roi_boxes'],
+                                                   out['roi_masks'])
+            sem = smooth_semantics(out['seg_pred'],
+                                   post.smoothing_kernel_sizes,
+                                   post.smoothing_weights)
+            sem = resize_like(sem, down)
+            boxes_up, masks_up, sem_up = upsample_output(
+                det_boxes, inst_masks, sem, ds_hw, in_hw)
+            padded = crop_and_pad_masks(boxes_up, masks_up, in_hw)
+            result = dict(det_boxes=boxes_up, instance_masks=masks_up,
+                          semantic=sem_up, padded_masks=padded)
+            if self.visualization:
+                vis = draw_boxes(images, boxes_up)
+                vis = draw_instance(vis, boxes_up, padded,
+                                    post.instance_colors, post.instance_alpha)
+                vis = draw_segmentation(vis, sem_up, post.semantic_colors,
+                                        post.semantic_alpha)
+                result['visualize'] = vis
+                result['summarize'] = summary_output(
+                    boxes_up, sem_up, padded, post.default_road_size)
+            return result
+
+        return jax.jit(run)
+
+    def _get(self, in_hw: Tuple[int, int]):
+        if in_hw not in self._jitted:
+            self._jitted[in_hw] = self._pipeline(in_hw)
+        return self._jitted[in_hw]
+
+    # ---- public API ----
+
+    def predict(self, images: np.ndarray) -> Dict[str, np.ndarray]:
+        """images: uint8 [H,W,3] or [B,H,W,3] RGB -> numpy outputs."""
+        if images.ndim == 3:
+            images = images[None]
+        in_hw = (images.shape[1], images.shape[2])
+        out = self._get(in_hw)(self.variables, jnp.asarray(images))
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def predict_bytes(self, content: bytes) -> Dict[str, np.ndarray]:
+        """JPEG/PNG bytes -> outputs (host-side decode, device pipeline)."""
+        import cv2
+        arr = np.frombuffer(content, np.uint8)
+        bgr = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        return self.predict(rgb)
+
+    @staticmethod
+    def encode_jpeg(image_rgb: np.ndarray) -> bytes:
+        import cv2
+        ok, buf = cv2.imencode(
+            '.jpg', cv2.cvtColor(image_rgb, cv2.COLOR_RGB2BGR))
+        if not ok:
+            raise RuntimeError('jpeg encode failed')
+        return bytes(buf.tobytes())
+
+
+def summary_to_records(summary_row: np.ndarray, instance_labels,
+                       crack_label: str = 'crack'):
+    """[K, 11] analytics rows -> list of dicts (the gRPC client's DataFrame
+    columns, serving.py:192-212)."""
+    names = list(instance_labels) + [crack_label]
+    records = []
+    for row in summary_row:
+        cls = int(row[0])
+        if cls < 0 or row[5] <= 0:
+            continue
+        records.append({
+            'name': names[cls] if cls < len(names) else str(cls),
+            'x': float(row[1]), 'y': float(row[2]),
+            'w': float(row[3]), 'h': float(row[4]),
+            'confidence': float(row[5]),
+            'pixelSize': float(row[6]),
+            'estimatedSize': float(row[7]),
+            'estimatedHorizontalLength': float(row[8]),
+            'estimatedVerticalLength': float(row[9]),
+            'includeMyRoad': bool(row[10] > 0.5),
+        })
+    return records

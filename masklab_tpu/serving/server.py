@@ -1,0 +1,134 @@
+"""Serving front-end: HTTP server, client, and folder-processing CLI.
+
+Replaces the reference's TF-Serving-in-Docker deployment (serving.py:42-109)
+with an idiomatic in-process server hosting the jitted predictor:
+  * POST /predict   body = JPEG/PNG bytes -> JSON {objs: [...]} analytics +
+    base64 annotated JPEG — the {visualize, summarize} signature of
+    save_serving_model (road_project/setup/serving.py:66-72);
+  * GET  /healthz   readiness probe (the reference's post-deploy smoke test
+    role, serving.py:97-106);
+  * ``send_image_to_server`` — client helper mirroring
+    ``send_image_to_serving`` (serving.py:157-225) with a request deadline;
+  * ``process_folder`` — offline batch processing (serving.py:228-276).
+"""
+from __future__ import annotations
+
+import base64
+import json
+import os
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import numpy as np
+
+from .predictor import MaskLabPredictor, summary_to_records
+
+DEFAULT_PORT = 8501  # same REST port the reference's TF-Serving used
+
+
+class _Handler(BaseHTTPRequestHandler):
+    predictor: MaskLabPredictor = None
+    instance_labels = ()
+
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+    def do_GET(self):
+        if self.path == '/healthz':
+            self._respond(200, b'{"status": "ok"}')
+        else:
+            self._respond(404, b'{"error": "not found"}')
+
+    def do_POST(self):
+        if self.path != '/predict':
+            self._respond(404, b'{"error": "not found"}')
+            return
+        length = int(self.headers.get('Content-Length', 0))
+        content = self.rfile.read(length)
+        started = time.time()
+        try:
+            out = self.predictor.predict_bytes(content)
+        except Exception as exc:  # noqa: BLE001 — surface to client
+            self._respond(400, json.dumps(
+                {'error': str(exc)}).encode())
+            return
+        payload: Dict = {'latency_ms': (time.time() - started) * 1000.0}
+        if 'summarize' in out:
+            payload['objs'] = summary_to_records(
+                out['summarize'][0], self.instance_labels)
+        if 'visualize' in out:
+            payload['visualize_jpeg_b64'] = base64.b64encode(
+                MaskLabPredictor.encode_jpeg(out['visualize'][0])).decode()
+        else:
+            payload['det_boxes'] = out['det_boxes'][0].tolist()
+        self._respond(200, json.dumps(payload).encode())
+
+    def _respond(self, code: int, body: bytes):
+        self.send_response(code)
+        self.send_header('Content-Type', 'application/json')
+        self.send_header('Content-Length', str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+class MaskLabServer:
+    def __init__(self, predictor: MaskLabPredictor,
+                 port: int = DEFAULT_PORT, instance_labels=()):
+        handler = type('BoundHandler', (_Handler,), {
+            'predictor': predictor,
+            'instance_labels': tuple(instance_labels),
+        })
+        self.httpd = ThreadingHTTPServer(('0.0.0.0', port), handler)
+        self.port = port
+        self.thread: Optional[threading.Thread] = None
+
+    def start(self, background: bool = True):
+        if background:
+            self.thread = threading.Thread(
+                target=self.httpd.serve_forever, daemon=True)
+            self.thread.start()
+        else:
+            self.httpd.serve_forever()
+
+    def stop(self):
+        self.httpd.shutdown()
+
+
+def send_image_to_server(image_path: str, host: str = 'localhost',
+                         port: int = DEFAULT_PORT,
+                         deadline_s: float = 10.25) -> Dict:
+    """Client round-trip with the reference's 10.25 s deadline
+    (serving.py:180)."""
+    import urllib.request
+    with open(image_path, 'rb') as f:
+        content = f.read()
+    req = urllib.request.Request(
+        f'http://{host}:{port}/predict', data=content, method='POST',
+        headers={'Content-Type': 'application/octet-stream'})
+    with urllib.request.urlopen(req, timeout=deadline_s) as resp:
+        return json.loads(resp.read())
+
+
+def process_folder(predictor: MaskLabPredictor, src_dir: str, dst_dir: str,
+                   instance_labels=()) -> Dict[str, Dict]:
+    """Offline batch processing: annotate every image in a folder."""
+    os.makedirs(dst_dir, exist_ok=True)
+    results = {}
+    for name in sorted(os.listdir(src_dir)):
+        if os.path.splitext(name)[1].lower() not in ('.jpg', '.jpeg', '.png'):
+            continue
+        with open(os.path.join(src_dir, name), 'rb') as f:
+            out = predictor.predict_bytes(f.read())
+        entry: Dict = {}
+        if 'summarize' in out:
+            entry['objs'] = summary_to_records(out['summarize'][0],
+                                               instance_labels)
+        if 'visualize' in out:
+            with open(os.path.join(dst_dir, name), 'wb') as f:
+                f.write(MaskLabPredictor.encode_jpeg(out['visualize'][0]))
+        results[name] = entry
+    with open(os.path.join(dst_dir, 'results.json'), 'w') as f:
+        json.dump(results, f, indent=2)
+    return results

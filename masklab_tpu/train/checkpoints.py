@@ -1,0 +1,69 @@
+"""Checkpointing via orbax.
+
+Replaces the reference's ``SaveInferenceModel`` h5 dumps
+(engine/callbacks.py:143-158): each epoch the *inference-relevant* state
+(params + batch stats) is saved under ``"{loss:.5f}-{epoch}"`` so a lexical
+sort still picks the best-loss checkpoint (road_project/train.py:84-85).
+Unlike the reference, optimizer state and the BoxLoss moving statistics are
+ALSO saved (full resume — the reference had none, SURVEY.md §5).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..config import ModelConfiguration
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+class CheckpointManager:
+    def __init__(self, save_dir: str, config: ModelConfiguration = None):
+        self.save_dir = os.path.abspath(save_dir)
+        os.makedirs(self.save_dir, exist_ok=True)
+        self._ckptr = ocp.PyTreeCheckpointer()
+        if config is not None:
+            config.save_json(os.path.join(self.save_dir, 'config.json'))
+
+    def save_epoch(self, state, loss: float, epoch: int) -> str:
+        """Save ``"{loss:.5f}-{epoch}"`` (callbacks.py:152-158 naming)."""
+        name = f'{loss:.5f}-{epoch:02d}'
+        path = os.path.join(self.save_dir, name)
+        payload = {
+            'params': _to_host(state.params),
+            'batch_stats': _to_host(state.batch_stats),
+            'opt_state': _to_host(state.opt_state),
+            'box_loss_state': _to_host(state.box_loss_state._asdict()),
+            'step': int(state.step),
+        }
+        self._ckptr.save(path, payload, force=True)
+        return path
+
+    def best_checkpoint(self) -> Optional[str]:
+        """Lexically-smallest name = lowest loss (train.py:84-85)."""
+        names = [n for n in os.listdir(self.save_dir)
+                 if os.path.isdir(os.path.join(self.save_dir, n))
+                 and '-' in n]
+        if not names:
+            return None
+        return os.path.join(self.save_dir, sorted(names)[0])
+
+    def restore(self, path: Optional[str] = None) -> Dict:
+        path = path or self.best_checkpoint()
+        if path is None:
+            raise FileNotFoundError(f'no checkpoints in {self.save_dir}')
+        return self._ckptr.restore(path)
+
+    def restore_variables(self, path: Optional[str] = None) -> Dict:
+        """Just what inference needs: {'params', 'batch_stats'}."""
+        payload = self.restore(path)
+        out = {'params': payload['params']}
+        if payload.get('batch_stats'):
+            out['batch_stats'] = payload['batch_stats']
+        return out

@@ -1,0 +1,211 @@
+"""The canonical training driver: 3-phase progressive unfreezing.
+
+Functional re-design of ``train_masklab_model`` (engine/train.py:21-239):
+  * config snapshot to config.json (train.py:31-32);
+  * datasets + generators (valid batch = 4x train batch, train.py:50);
+  * smoke check: one tiny-LR step at max scale proves the graph trains and
+    memory fits before real training (train.py:77-110);
+  * three phases — head-tune (freeze <= C5), waist-tune (freeze <= C2),
+    all-tune (C0) — each re-masking the optimizer for the phase's freeze
+    depth, with its own CyclicLR(base, max, step) schedule and
+    steps_per_epoch = step_size // 2 (train.py:117-238);
+  * per-epoch checkpointing named "{loss:.5f}-{epoch}" (SaveInferenceModel);
+  * data parallelism over the mesh 'data' axis replaces ParallelModel.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import ModelConfiguration
+from ..data.dataset import MaskLabDataset
+from ..data.generator import MaskLabGenerator, PrefetchIterator, pad_boxes_to
+from ..models.masklab import MaskLab, build_masklab
+from ..parallel.mesh import (batch_sharding, make_mesh,
+                             make_parallel_train_step, replicate_sharding,
+                             shard_batch)
+from .checkpoints import CheckpointManager
+from .optimizers import cyclic_lr, masked_updates, rectified_adam
+from .state import TrainState, trainable_mask
+from .steps import make_eval_step, make_train_step
+from ..losses import BoxLossState
+
+
+def construct_masklab_datasets(config: ModelConfiguration):
+    """MaskLabDataset pair from config (retinamasklab.py:398-417)."""
+    d = config.dataset
+    trainset = MaskLabDataset(d.train_cases or None, min_area=d.min_area,
+                              data_dir=d.data_dir,
+                              instance_labels=d.instance_labels,
+                              semantic_labels=d.semantic_labels)
+    validset = MaskLabDataset(d.valid_cases or None, min_area=d.min_area,
+                              data_dir=d.data_dir,
+                              instance_labels=d.instance_labels,
+                              semantic_labels=d.semantic_labels)
+    return trainset, validset
+
+
+class MaskLabTrainer:
+    """Owns model/state and runs the progressive-unfreeze schedule."""
+
+    def __init__(self, config: ModelConfiguration,
+                 max_gt_boxes: int = 16, log_fn: Callable = print):
+        self.config = config
+        self.model = build_masklab(config)
+        self.max_gt_boxes = max_gt_boxes
+        self.log = log_fn
+        self.mesh = make_mesh(data=max(1, min(
+            config.compute.mesh_data or len(jax.devices()),
+            len(jax.devices()))))
+        self.state: Optional[TrainState] = None
+        self.ckpt = CheckpointManager(config.train.save_dir, config)
+        self.history: Dict[str, list] = {}
+
+    # ---- setup ----
+
+    def init_state(self, sample_batch: Dict) -> None:
+        variables = jax.jit(self.model.init)(
+            jax.random.PRNGKey(0),
+            jnp.asarray(sample_batch['images'][:1]))
+        # placeholder optimizer; re-built per phase
+        tx = rectified_adam(1e-10)
+        self.state = TrainState.create(
+            variables, tx, box_beta=self.config.loss.box_loss_beta)
+
+    def _phase_tx(self, base_lr, max_lr, step_size, freeze_depth):
+        schedule = cyclic_lr(base_lr, max_lr, step_size)
+        mask = trainable_mask(self.state.params,
+                              self.config.backbone.backbone_type,
+                              freeze_depth)
+        return optax.chain(rectified_adam(schedule), masked_updates(mask))
+
+    def _rebuild_state_for_phase(self, tx) -> None:
+        """New optimizer per phase (the reference recompiled each phase,
+        resetting optimizer state — train.py:117-238)."""
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=self.state.params,
+            batch_stats=self.state.batch_stats, opt_state=tx.init(
+                self.state.params),
+            box_loss_state=self.state.box_loss_state, tx=tx)
+
+    # ---- running ----
+
+    def _prepare(self, batch: Dict) -> Dict:
+        batch = pad_boxes_to(batch, self.max_gt_boxes)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def run_phase(self, name: str, generator: MaskLabGenerator,
+                  valid_generator: Optional[MaskLabGenerator],
+                  epochs: int, base_lr: float, max_lr: float,
+                  step_size: int, freeze_depth: str,
+                  steps_per_epoch: Optional[int] = None) -> None:
+        tx = self._phase_tx(base_lr, max_lr, step_size, freeze_depth)
+        self._rebuild_state_for_phase(tx)
+        multi = self.mesh.devices.size > 1
+        if multi:
+            step_fn = make_parallel_train_step(self.model, self.mesh)
+            self.state = jax.device_put(self.state,
+                                        replicate_sharding(self.mesh))
+        else:
+            step_fn = make_train_step(self.model)
+        eval_fn = make_eval_step(self.model) if valid_generator else None
+        steps = steps_per_epoch if steps_per_epoch is not None \
+            else max(1, step_size // 2)
+
+        for epoch in range(epochs):
+            t0 = time.time()
+            losses = []
+            it = iter(PrefetchIterator(generator, prefetch=4))
+            for step_idx in range(steps):
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    it = iter(PrefetchIterator(generator, prefetch=4))
+                    batch = next(it)
+                batch = self._prepare(batch)
+                if multi:
+                    batch = shard_batch(batch, self.mesh)
+                self.state, metrics = step_fn(self.state, batch)
+                losses.append(float(metrics['loss']))
+            train_loss = float(np.mean(losses)) if losses else float('nan')
+            log_line = (f'[{name}] epoch {epoch + 1}/{epochs} '
+                        f'loss={train_loss:.5f} '
+                        f'({time.time() - t0:.1f}s)')
+            val_loss = None
+            if eval_fn is not None and len(valid_generator) > 0:
+                vmetrics = eval_fn(self.state,
+                                   self._prepare(valid_generator[0]))
+                val_loss = float(vmetrics['loss'])
+                log_line += f' val_loss={val_loss:.5f}'
+            self.log(log_line)
+            self.history.setdefault(f'{name}_loss', []).append(train_loss)
+            self.ckpt.save_epoch(self.state,
+                                 val_loss if val_loss is not None
+                                 else train_loss, epoch)
+
+    def smoke_check(self, generator: MaskLabGenerator,
+                    num_steps: int = 1) -> None:
+        """Tiny-LR fit proving the graph compiles/trains (train.py:77-110)."""
+        tx = optax.chain(
+            rectified_adam(1e-10),
+            masked_updates(trainable_mask(
+                self.state.params, self.config.backbone.backbone_type,
+                'C0')))
+        self._rebuild_state_for_phase(tx)
+        step_fn = make_train_step(self.model, with_metrics=False)
+        for i in range(num_steps):
+            batch = self._prepare(generator[i % max(1, len(generator))])
+            self.state, metrics = step_fn(self.state, batch)
+            loss = float(metrics['loss'])
+            if not np.isfinite(loss):
+                raise FloatingPointError(f'smoke check loss={loss}')
+        self.log(f'smoke check OK — loss={loss:.5f}')
+
+
+def train_masklab_model(config: ModelConfiguration,
+                        max_gt_boxes: int = 16,
+                        steps_per_epoch: Optional[int] = None,
+                        smoke_steps: int = 1) -> MaskLabTrainer:
+    """The canonical train() entry (engine/train.py:21-239)."""
+    t = config.train
+    os.makedirs(t.save_dir, exist_ok=True)
+
+    trainset, validset = construct_masklab_datasets(config)
+    train_gen = MaskLabGenerator(
+        trainset.get_config(), scale_ratio=t.scale_ratio,
+        batch_size=t.batch_size,
+        scale_buckets=config.compute.scale_buckets)
+    valid_gen = MaskLabGenerator(
+        validset.get_config(), scale_ratio=t.scale_ratio,
+        batch_size=min(t.batch_size * 4, t.max_batch_size),
+        scale_buckets=config.compute.scale_buckets) \
+        if len(validset) else None
+
+    trainer = MaskLabTrainer(config, max_gt_boxes=max_gt_boxes)
+    trainer.init_state(train_gen[0])
+    trainer.smoke_check(train_gen, num_steps=smoke_steps)
+
+    if t.train_head_tune:
+        trainer.run_phase('head', train_gen, valid_gen,
+                          t.train_head_tune_epoch, t.head_base_lr,
+                          t.head_max_lr, t.head_step_size,
+                          t.train_head_level, steps_per_epoch)
+    if t.train_waist_tune:
+        trainer.run_phase('waist', train_gen, valid_gen,
+                          t.train_waist_tune_epoch, t.waist_base_lr,
+                          t.waist_max_lr, t.waist_step_size,
+                          t.train_waist_level, steps_per_epoch)
+    if t.train_all:
+        trainer.run_phase('all', train_gen, valid_gen, t.train_all_epoch,
+                          t.all_base_lr, t.all_max_lr, t.all_step_size,
+                          'C0', steps_per_epoch)
+    with open(os.path.join(t.save_dir, 'history.json'), 'w') as f:
+        json.dump(trainer.history, f, indent=2)
+    return trainer

@@ -6,7 +6,9 @@ SURVEY.md §4).
 """
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# the session environment pins JAX_PLATFORMS=axon (the TPU tunnel); tests
+# must run on the virtual CPU mesh, so override unconditionally.
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
