@@ -1,0 +1,136 @@
+"""Command-line entry points.
+
+Replaces the reference's drivers:
+  * ``train``   — road_project/train.py (config overrides via -group.attr
+    flags, then the 3-phase trainer, then the mIoU eval loop);
+  * ``eval``    — the quantitative eval alone (train.py:101-212);
+  * ``serve``   — serving.py's `docker` command, minus Docker: hosts the
+    jitted predictor over HTTP;
+  * ``process`` — serving.py's `folder` command: batch-annotate a folder;
+  * ``etl``     — road_project/setup/process.py's process_dataset.
+
+Usage: python -m masklab_tpu.cli <command> [-group.attr value ...]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from .config import ModelConfiguration
+
+
+def _load_config(args) -> ModelConfiguration:
+    cfg = ModelConfiguration()
+    ns = cfg.get_arg_parser(args=args)
+    cfg.apply_namespace(ns)
+    return cfg
+
+
+def cmd_train(args) -> None:
+    from .train.trainer import train_masklab_model
+    cfg = _load_config(args)
+    stamp = time.strftime('%Y%m%d_%H%M%S')
+    cfg.train.save_dir = os.path.join(cfg.train.save_dir, stamp)
+    trainer = train_masklab_model(cfg)
+    print(f'best checkpoint: {trainer.ckpt.best_checkpoint()}')
+    cmd_eval(args, save_dir=cfg.train.save_dir)
+
+
+def cmd_eval(args, save_dir: str = None) -> None:
+    import jax
+    import jax.numpy as jnp
+    from .data.dataset import MaskLabDataset
+    from .eval.miou import evaluate_dataset
+    from .models.masklab import build_masklab
+    from .serving.predictor import MaskLabPredictor
+    from .train.checkpoints import CheckpointManager
+
+    cfg = _load_config(args)
+    save_dir = save_dir or cfg.train.save_dir
+    ckpt = CheckpointManager(save_dir, None)
+    model = build_masklab(cfg)
+    variables = ckpt.restore_variables()
+    predictor = MaskLabPredictor(model, variables, cfg)
+    validset = MaskLabDataset(cfg.dataset.valid_cases or None,
+                              min_area=cfg.dataset.min_area,
+                              data_dir=cfg.dataset.data_dir,
+                              instance_labels=cfg.dataset.instance_labels,
+                              semantic_labels=cfg.dataset.semantic_labels)
+    metrics = evaluate_dataset(predictor, validset,
+                               cfg.dataset.instance_labels,
+                               cfg.dataset.semantic_labels)
+    print(json.dumps(metrics, indent=2))
+    with open(os.path.join(save_dir, 'eval.json'), 'w') as f:
+        json.dump(metrics, f, indent=2)
+
+
+def _build_predictor(cfg, save_dir):
+    import jax
+    from .models.masklab import build_masklab
+    from .serving.predictor import MaskLabPredictor
+    from .train.checkpoints import CheckpointManager
+
+    model = build_masklab(cfg)
+    if save_dir and os.path.isdir(save_dir):
+        variables = CheckpointManager(save_dir, None).restore_variables()
+    else:
+        import jax.numpy as jnp
+        print('WARNING: no checkpoint dir, serving randomly-initialized '
+              'weights (smoke mode)')
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    return MaskLabPredictor(model, variables, cfg, visualization=True)
+
+
+def cmd_serve(args) -> None:
+    from .serving.server import MaskLabServer
+    cfg = _load_config([a for a in args if not a.startswith('--port')])
+    port = 8501
+    for a in args:
+        if a.startswith('--port='):
+            port = int(a.split('=', 1)[1])
+    predictor = _build_predictor(cfg, cfg.train.save_dir)
+    server = MaskLabServer(predictor, port=port,
+                           instance_labels=cfg.dataset.instance_labels)
+    print(f'serving on :{port} (POST /predict, GET /healthz)')
+    server.start(background=False)
+
+
+def cmd_process(args) -> None:
+    from .serving.server import process_folder
+    paths = [a for a in args if not a.startswith('-')]
+    if len(paths) < 2:
+        raise SystemExit('usage: process <src_dir> <dst_dir> [overrides]')
+    src, dst = paths[0], paths[1]
+    cfg = _load_config([a for a in args if a.startswith('-')])
+    predictor = _build_predictor(cfg, cfg.train.save_dir)
+    results = process_folder(predictor, src, dst,
+                             cfg.dataset.instance_labels)
+    print(f'processed {len(results)} images -> {dst}')
+
+
+def cmd_etl(args) -> None:
+    from .data.process import process_dataset
+    cfg = _load_config([a for a in args if a.startswith('-')])
+    process_dataset(cfg.dataset.data_dir,
+                    except_semantic_labels=cfg.dataset.except_semantic_labels)
+    print(f'ETL complete: {cfg.dataset.data_dir}/processed')
+
+
+COMMANDS = {'train': cmd_train, 'eval': cmd_eval, 'serve': cmd_serve,
+            'process': cmd_process, 'etl': cmd_etl}
+
+
+def main(argv=None) -> None:
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] not in COMMANDS:
+        raise SystemExit(
+            f'usage: python -m masklab_tpu.cli {{{"|".join(COMMANDS)}}} '
+            '[-group.attr value ...]')
+    COMMANDS[argv[0]](argv[1:])
+
+
+if __name__ == '__main__':
+    main()

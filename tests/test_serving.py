@@ -1,0 +1,124 @@
+"""Serving pipeline: postprocess parity pieces, analytics, predictor e2e,
+HTTP server round-trip. Small shapes; everything device-side is jitted."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from masklab_tpu.serving.postprocess import (crop_and_pad_masks,
+                                             smooth_semantics,
+                                             upsample_output)
+from masklab_tpu.serving.summary import (calculate_instance_size,
+                                         crack_to_instance, include_my_road,
+                                         summary_output)
+from masklab_tpu.serving.visualize import (draw_boxes, draw_instance,
+                                           draw_segmentation)
+
+
+def test_crop_and_pad_masks_places_mask_inside_box():
+    det = jnp.asarray([[[16, 16, 16, 16, 0, 90],
+                        [-1, -1, -1, -1, -1, -1]]], jnp.float32)
+    masks = jnp.ones((1, 2, 8, 8), jnp.float32)
+    out = np.asarray(jax.jit(
+        lambda d, m: crop_and_pad_masks(d, m, (32, 32)))(det, masks))
+    assert out.shape == (1, 2, 32, 32)
+    # inside box ~1, outside 0
+    assert out[0, 0, 16, 16] > 0.9
+    assert out[0, 0, 2, 2] == 0.0
+    assert out[0, 1].max() == 0.0  # below-threshold/invalid box dropped
+
+
+def test_crop_and_pad_adaptive_threshold():
+    # best conf < 50 -> everything kept (misc.py:366-370)
+    det = jnp.asarray([[[16, 16, 16, 16, 0, 20]]], jnp.float32)
+    masks = jnp.ones((1, 1, 8, 8), jnp.float32)
+    out = np.asarray(crop_and_pad_masks(det, masks, (32, 32)))
+    assert out[0, 0, 16, 16] > 0.9
+
+
+def test_upsample_output_scaling():
+    boxes = jnp.asarray([[[10, 20, 30, 40, 2, 0.75]]], jnp.float32)
+    masks = jnp.full((1, 1, 4, 4), 0.8, jnp.float32)
+    sem = jnp.full((1, 8, 8, 3), 0.7, jnp.float32)
+    b, m, s = upsample_output(boxes, masks, sem, (8, 8), (16, 16))
+    np.testing.assert_array_equal(np.asarray(b[0, 0]),
+                                  [20, 40, 60, 80, 2, 75])
+    assert np.asarray(m).dtype == np.int32 and np.asarray(m).max() == 1
+    assert np.asarray(s).shape == (1, 16, 16, 3)
+    assert np.asarray(s).max() == 1
+
+
+def test_smooth_semantics_zero_kernel_passthrough():
+    seg = jnp.asarray(np.random.RandomState(0).rand(1, 8, 8, 3),
+                      jnp.float32)
+    out = smooth_semantics(seg, (0, 0, 0), (1.0, 2.0, 1.0))
+    np.testing.assert_allclose(np.asarray(out[..., 0]),
+                               np.asarray(seg[..., 0]))
+    np.testing.assert_allclose(np.asarray(out[..., 1]),
+                               np.asarray(seg[..., 1]) * 2.0)
+
+
+def test_crack_to_instance_bbox():
+    crack = np.zeros((1, 32, 32), np.float32)
+    crack[0, 10:20, 5:25] = 1.0
+    det, seg = crack_to_instance(jnp.asarray(crack))
+    row = np.asarray(det[0, 0])
+    assert row[4] == 5                      # crack class id
+    assert row[5] == 100                    # conf clipped at 100
+    assert abs(row[0] - 14) <= 1 and abs(row[1] - 14) <= 1
+    assert row[2] == 19 and row[3] == 9     # width/height of extents
+
+
+def test_include_my_road_flags_overlap():
+    seg = np.zeros((1, 16, 16, 3), np.float32)
+    seg[0, 8:, :, 1] = 1.0                  # my_road bottom half
+    masks = np.zeros((1, 2, 16, 16), np.float32)
+    masks[0, 0, 10:14, 2:6] = 1.0           # inside road
+    masks[0, 1, 0:4, 0:4] = 1.0             # outside road
+    inc = np.asarray(include_my_road(jnp.asarray(seg), jnp.asarray(masks)))
+    assert inc[0, 0] == 1.0 and inc[0, 1] == 0.0
+
+
+def test_calculate_instance_size_units():
+    # my_road band cols 11..20 -> edge distance 9 px -> 3.25/9 m per px
+    seg = np.zeros((1, 32, 32, 3), np.float32)
+    seg[0, :, 11:21, 1] = 1.0
+    masks = np.zeros((1, 1, 32, 32), np.float32)
+    masks[0, 0, 10:20, 12:17] = 1.0         # 10 rows x 5 cols
+    sizes = np.asarray(jax.jit(calculate_instance_size)(
+        jnp.asarray(seg), jnp.asarray(masks)))
+    unit = 3.25 / 9.0
+    np.testing.assert_allclose(sizes[0, 0, 0], 50 * unit ** 2, rtol=1e-4)
+    # "horizontal" follows the reference's column-sum-max (misc.py:655-657):
+    # max over columns of (rows-in-column * unit) = 10 * unit here
+    np.testing.assert_allclose(sizes[0, 0, 1], 10 * unit, rtol=1e-4)
+    np.testing.assert_allclose(sizes[0, 0, 2], 10 * unit, rtol=1e-4)
+
+
+def test_summary_output_table_shape():
+    det = jnp.asarray(np.random.RandomState(0).rand(1, 4, 6) * 30,
+                      jnp.float32)
+    seg = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    masks = jnp.zeros((1, 4, 32, 32), jnp.float32)
+    table = summary_output(det, seg, masks)
+    assert table.shape == (1, 5, 11)
+
+
+def test_visualization_outputs_uint8():
+    img = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    seg = jnp.ones((1, 16, 16, 3), jnp.float32)
+    colors = [[64, 0, 128], [128, 96, 0], [128, 192, 0]]
+    v = draw_segmentation(img, seg, colors, 0.3)
+    assert np.asarray(v).dtype == np.uint8
+    det = jnp.asarray([[[8, 8, 8, 8, 1, 90]]], jnp.float32)
+    masks = jnp.ones((1, 1, 16, 16), jnp.float32)
+    v2 = draw_instance(img, det, masks, colors[:2] + [[96, 0, 128],
+                                                      [1, 2, 3], [4, 5, 6]])
+    assert np.asarray(v2).dtype == np.uint8
+    v3 = np.asarray(draw_boxes(img, det))
+    assert v3.dtype == np.uint8
+    assert (v3[0, 4, 4:12] == 255).all()    # top border row drawn white
