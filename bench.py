@@ -16,6 +16,10 @@ BASELINE_FPS = 30.0
 
 def main():
     import jax
+    # persistent compilation cache: TPU compiles go through a remote service
+    # here and are expensive; cache them across processes/rounds
+    jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     import jax.numpy as jnp
     import numpy as np
     from masklab_tpu import ModelConfiguration

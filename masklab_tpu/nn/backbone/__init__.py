@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..layers import GroupNorm
+from .efficientnet import efficientnet_b2, efficientnet_b3, efficientnet_b4
 from .mobilenet import MobileNetV1
 from .preprocess import PREPROCESS_COMBOS, preprocess_for
 from .resnet import (resnet50, resnet101, resnext50, seresnet34, seresnet50,
@@ -38,6 +39,9 @@ BACKBONE_REGISTRY: Dict[str, Callable] = {
     'seresnet50': lambda dtype: seresnet50(dtype),
     'seresnext50': lambda dtype: seresnext50(dtype),
     'vgg16': lambda dtype: VGG16(dtype=dtype),
+    'efficientnetb2': lambda dtype: efficientnet_b2(dtype),
+    'efficientnetb3': lambda dtype: efficientnet_b3(dtype),
+    'efficientnetb4': lambda dtype: efficientnet_b4(dtype),
 }
 
 
@@ -111,6 +115,9 @@ class BackboneNetwork(nn.Module):
 _RESNET_STAGE_OF_DEPTH = {'C1': 1, 'C2': 2, 'C3': 3, 'C4': 4, 'C5': 5}
 _MOBILENET_LAST_FROZEN_BLOCK = {'C1': 1, 'C2': 3, 'C3': 5, 'C4': 11, 'C5': 13}
 _VGG_LAST_FROZEN_BLOCK = {'C1': 2, 'C2': 3, 'C3': 4, 'C4': 5, 'C5': 5}
+# efficientnet taps sit in the first block of stages 1/2/3/5 -> everything
+# strictly before that stage freezes at the corresponding depth
+_EFFNET_LAST_FROZEN_STAGE = {'C1': 0, 'C2': 1, 'C3': 2, 'C4': 4, 'C5': 6}
 
 
 def module_frozen(backbone_type: str, module_name: str,
@@ -135,6 +142,15 @@ def module_frozen(backbone_type: str, module_name: str,
         m = re.match(r'block(\d+)_', module_name)
         if m:
             return int(m.group(1)) <= _VGG_LAST_FROZEN_BLOCK[freeze_depth]
+        return False
+    if bt.startswith('efficientnet'):
+        if module_name.startswith('stem'):
+            return True
+        if module_name.startswith('top'):
+            return freeze_depth == 'C5'
+        m = re.match(r'stage(\d+)_', module_name)
+        if m:
+            return int(m.group(1)) <= _EFFNET_LAST_FROZEN_STAGE[freeze_depth]
         return False
     # resnet family: stem + stage{2..5}
     if module_name.startswith('stem'):

@@ -32,7 +32,10 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+        # clamp so narrow feature stacks (tests, small configs) still
+        # normalize; the reference required channels >= groups
+        groups = min(self.groups, x.shape[-1])
+        return nn.GroupNorm(num_groups=groups, epsilon=1e-5,
                             dtype=self.dtype,
                             param_dtype=jnp.float32)(x)
 
