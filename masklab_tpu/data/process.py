@@ -94,7 +94,11 @@ def _fill_polygon(mask: np.ndarray, points: np.ndarray) -> None:
     pts = points.copy()
     pts[:, 0] = np.clip(pts[:, 0], 0, w - 1)
     pts[:, 1] = np.clip(pts[:, 1], 0, h - 1)
-    cv2.fillPoly(mask, [np.round(pts).astype(np.int32)], 1)
+    # native scanline rasterizer (masklab_tpu/native) when available; the
+    # per-polygon fill is the ETL hot loop (SURVEY.md §3.5)
+    from ..native import fill_polygon_native
+    if not fill_polygon_native(mask, pts, 1):
+        cv2.fillPoly(mask, [np.round(pts).astype(np.int32)], 1)
 
 
 def process_semantic(inputs, data_dir: str, semantic_labels: Sequence[str],
