@@ -44,8 +44,8 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
         lambda x: jax.device_put(x, sh), batch)
 
 
-def make_parallel_train_step(model, mesh: Mesh,
-                             with_metrics: bool = True) -> Callable:
+def make_parallel_train_step(model, mesh: Mesh, with_metrics: bool = True,
+                             donate: bool = False) -> Callable:
     """Jit the train step with explicit state/batch shardings over the mesh.
 
     Parameters/optimizer state are replicated; each batch tensor is sharded
@@ -74,8 +74,7 @@ def make_parallel_train_step(model, mesh: Mesh,
                                       box_loss_state=new_box_state)
         return new_state, metrics
 
-    return jax.jit(
-        train_step,
-        in_shardings=(repl, data),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,))
+    kwargs = dict(in_shardings=(repl, data), out_shardings=(repl, repl))
+    if donate:
+        kwargs['donate_argnums'] = (0,)
+    return jax.jit(train_step, **kwargs)

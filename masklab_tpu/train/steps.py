@@ -85,9 +85,13 @@ def compute_losses(model: MaskLab, variables: Dict, batch: Dict,
     return total, (new_batch_stats, new_box_state, metrics)
 
 
-def make_train_step(model: MaskLab,
-                    with_metrics: bool = True) -> Callable:
-    """Build the jitted train step: state, batch -> (state, metrics)."""
+def make_train_step(model: MaskLab, with_metrics: bool = True,
+                    donate: bool = False) -> Callable:
+    """Build the jitted train step: state, batch -> (state, metrics).
+
+    ``donate=True`` donates the input state's buffers (halves peak memory in
+    the training loop) — callers must not reuse the old state afterwards.
+    """
 
     def train_step(state, batch):
         def loss_fn(params):
@@ -105,7 +109,9 @@ def make_train_step(model: MaskLab,
                                       box_loss_state=new_box_state)
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    if donate:
+        return jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(train_step)
 
 
 def make_eval_step(model: MaskLab, with_metrics: bool = True) -> Callable:

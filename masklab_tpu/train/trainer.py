@@ -110,11 +110,11 @@ class MaskLabTrainer:
         self._rebuild_state_for_phase(tx)
         multi = self.mesh.devices.size > 1
         if multi:
-            step_fn = make_parallel_train_step(self.model, self.mesh)
+            step_fn = make_parallel_train_step(self.model, self.mesh, donate=True)
             self.state = jax.device_put(self.state,
                                         replicate_sharding(self.mesh))
         else:
-            step_fn = make_train_step(self.model)
+            step_fn = make_train_step(self.model, donate=True)
         eval_fn = make_eval_step(self.model) if valid_generator else None
         steps = steps_per_epoch if steps_per_epoch is not None \
             else max(1, step_size // 2)
