@@ -35,15 +35,11 @@ from .boxes import cxcywh_to_yxyx, iou_yxyx
 NEG = jnp.float32(-1.0)
 
 
-def nms_keep_mask(boxes_yxyx: jnp.ndarray, valid: jnp.ndarray,
-                  iou_threshold: float, max_outputs: int) -> jnp.ndarray:
-    """Greedy NMS over score-sorted boxes; returns a bool keep mask.
-
-    ``boxes_yxyx`` [K, 4] must already be sorted by descending score;
-    ``valid`` [K] marks live candidates. Boxes with IoU strictly greater than
-    ``iou_threshold`` against an earlier kept box are suppressed; at most
-    ``max_outputs`` are kept.
-    """
+def nms_keep_mask_sequential(boxes_yxyx: jnp.ndarray, valid: jnp.ndarray,
+                             iou_threshold: float,
+                             max_outputs: int) -> jnp.ndarray:
+    """Reference greedy NMS as a K-step sequential loop (kept for testing
+    — see :func:`nms_keep_mask` for the production fixpoint form)."""
     k = boxes_yxyx.shape[0]
     iou = iou_yxyx(boxes_yxyx, boxes_yxyx)                    # [K, K]
     later = (jnp.arange(k)[:, None] < jnp.arange(k)[None, :])  # j strictly after i
@@ -62,6 +58,57 @@ def nms_keep_mask(boxes_yxyx: jnp.ndarray, valid: jnp.ndarray,
     _, kept, _ = jax.lax.fori_loop(0, k, body,
                                    (suppressed0, kept0, jnp.int32(0)))
     return kept
+
+
+def nms_keep_mask(boxes_yxyx: jnp.ndarray, valid: jnp.ndarray,
+                  iou_threshold: float, max_outputs: int) -> jnp.ndarray:
+    """Greedy NMS over score-sorted boxes as an MXU matvec fixpoint.
+
+    The K-step sequential loop is the TPU bottleneck (each tiny iteration
+    costs microseconds of loop overhead). Greedy keep is the unique
+    fixpoint of the antitone map
+
+        f(keep)[i] = valid[i] and not exists j<i: keep[j] and iou[j,i] > t,
+
+    and iterating ``g = f(f(keep))`` from keep = valid sandwiches the
+    greedy solution from above and below (even iterates >= greedy >= odd
+    iterates), converging exactly in O(longest suppression chain)
+    iterations — single digits on real data. Each f is one [K, K] x [K]
+    matvec on the MXU instead of K loop steps. The ``max_outputs`` cap is
+    applied afterwards (keeping the first ``max_outputs`` kept boxes equals
+    capped greedy, since suppression only ever flows from kept boxes).
+    """
+    k = boxes_yxyx.shape[0]
+    iou = iou_yxyx(boxes_yxyx, boxes_yxyx)
+    later = (jnp.arange(k)[:, None] < jnp.arange(k)[None, :])
+    # suppress[j, i]: earlier kept j kills i
+    sup = ((iou > iou_threshold) & later).astype(jnp.float32)  # [K, K]
+    valid_f = valid.astype(jnp.float32)
+
+    def f(keep):
+        hit = jnp.einsum('ji,j->i', sup, keep,
+                         precision=jax.lax.Precision.HIGHEST)
+        return valid_f * (hit < 0.5)
+
+    def cond(carry):
+        even, odd, it = carry
+        return jnp.logical_and(jnp.any(even != odd), it < k)
+
+    def body(carry):
+        even, odd, it = carry
+        odd = f(even)
+        even = f(odd)
+        return even, odd, it + 1
+
+    even0 = valid_f
+    odd0 = f(even0)
+    even1 = f(odd0)
+    even, odd, _ = jax.lax.while_loop(cond, body,
+                                      (even1, odd0, jnp.int32(0)))
+    kept = even > 0.5
+    # cap: first max_outputs kept (in score order) survive
+    rank = jnp.cumsum(kept.astype(jnp.int32))
+    return kept & (rank <= max_outputs)
 
 
 @partial(jax.jit, static_argnames=(

@@ -18,3 +18,12 @@ os.environ.setdefault('TF_CPP_MIN_LOG_LEVEL', '3')
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the axon jax plugin overrides JAX_PLATFORMS from the environment, so pin
+# the platform through the config API before any backend initializes
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+assert len(jax.devices()) >= 8, (
+    'tests need the 8-device virtual CPU mesh; got '
+    f'{jax.devices()}')

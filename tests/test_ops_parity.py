@@ -109,6 +109,25 @@ def _random_boxes(n):
     return np.stack([cx, cy, w, h], -1).astype(np.float32)
 
 
+@pytest.mark.parametrize('seed', [1, 2, 3, 4, 5])
+def test_fixpoint_nms_matches_sequential(seed):
+    from masklab_tpu.ops.nms import nms_keep_mask_sequential
+    rng = np.random.RandomState(seed)
+    n = 80
+    boxes = np.stack([rng.uniform(20, 120, n), rng.uniform(20, 120, n),
+                      rng.uniform(10, 80, n), rng.uniform(10, 80, n)],
+                     -1).astype(np.float32)
+    yxyx = np.asarray(cxcywh_to_yxyx(jnp.asarray(boxes)))
+    order = np.argsort(-rng.uniform(0, 1, n), kind='stable')
+    yxyx = yxyx[order]
+    valid = jnp.asarray(rng.rand(n) > 0.2)
+    for thresh, cap in ((0.3, 100), (0.5, 10), (0.7, 5)):
+        fx = np.asarray(nms_keep_mask(jnp.asarray(yxyx), valid, thresh, cap))
+        seq = np.asarray(nms_keep_mask_sequential(jnp.asarray(yxyx), valid,
+                                                  thresh, cap))
+        np.testing.assert_array_equal(fx, seq), (seed, thresh, cap)
+
+
 @pytest.mark.parametrize('seed', [1, 2, 3])
 def test_nms_keep_matches_tf(seed):
     rng = np.random.RandomState(seed)
