@@ -196,6 +196,10 @@ class ComputeConfig:
     # mesh axis sizes; data axis replaces the reference ParallelModel.
     mesh_data: int = 1
     mesh_model: int = 1
+    # fused per-box-weight mask head (one batched-GEMM pass) instead of
+    # running every pyramid level's head over every box; only valid for the
+    # plain-conv head (no separable conv / squeeze-excite).
+    fused_mask_head: bool = True
 
 
 _GROUP_TYPES = {

@@ -28,6 +28,7 @@ from ..ops.nms import batched_class_aware_nms
 from ..ops.boxes import decode_boxes
 from ..prior import generate_priors, priors_from_config
 from .detection import BoxRegressionSubNet, ClassificationSubNet, FeaturePyramid
+from .fused_mask_head import FusedMaskSubNet, select_crops_by_level
 from .instance import (MaskSubNet, mask_distribute, pyramid_roi_align,
                        select_by_level)
 from .semantic import ASPPNetwork, SegmentationSubNet
@@ -68,15 +69,25 @@ class MaskLab(nn.Module):
             num_blocks=num_outputs,
             use_squeeze_excite=det.use_separable_conv, **common)
         ins = cfg.instance
-        self.mask_subnet = MaskSubNet(
-            num_blocks=ins.max_k + 1, num_classes=num_det_classes,
-            num_depth=ins.num_depth, num_features=ins.num_features,
-            use_separable_conv=ins.use_separable_conv,
-            # reference quirk kept: expand_ratio wired from
-            # use_separable_conv (retinamasklab.py:139)
-            expand_ratio=float(ins.use_separable_conv),
-            use_squeeze_excite=ins.use_squeeze_excite,
-            squeeze_ratio=ins.squeeze_ratio, groups=ins.groups, dtype=dtype)
+        self.use_fused_mask_head = (
+            cfg.compute.fused_mask_head and not ins.use_separable_conv
+            and not ins.use_squeeze_excite)
+        if self.use_fused_mask_head:
+            self.mask_subnet = FusedMaskSubNet(
+                num_levels=ins.max_k + 1, num_classes=num_det_classes,
+                num_depth=ins.num_depth, num_features=ins.num_features,
+                groups=ins.groups, dtype=dtype)
+        else:
+            self.mask_subnet = MaskSubNet(
+                num_blocks=ins.max_k + 1, num_classes=num_det_classes,
+                num_depth=ins.num_depth, num_features=ins.num_features,
+                use_separable_conv=ins.use_separable_conv,
+                # reference quirk kept: expand_ratio wired from
+                # use_separable_conv (retinamasklab.py:139)
+                expand_ratio=float(ins.use_separable_conv),
+                use_squeeze_excite=ins.use_squeeze_excite,
+                squeeze_ratio=ins.squeeze_ratio, groups=ins.groups,
+                dtype=dtype)
         sem = cfg.semantic
         self.aspp = ASPPNetwork(num_features=sem.num_aspp_features,
                                 atrous_rate=tuple(sem.atrous_rate),
@@ -128,6 +139,9 @@ class MaskLab(nn.Module):
         levels = mask_distribute(boxes, cfg.max_k, cfg.base_size)
         crops = pyramid_roi_align(features[:cfg.max_k + 1], boxes, levels,
                                   image_hw, tuple(cfg.crop_size))
+        if self.use_fused_mask_head:
+            own_crops = select_crops_by_level(crops, levels)
+            return self.mask_subnet(own_crops, levels)
         per_level_masks = self.mask_subnet(crops)
         return select_by_level(per_level_masks, levels)
 
