@@ -197,9 +197,11 @@ class ComputeConfig:
     mesh_data: int = 1
     mesh_model: int = 1
     # fused per-box-weight mask head (one batched-GEMM pass) instead of
-    # running every pyramid level's head over every box; only valid for the
-    # plain-conv head (no separable conv / squeeze-excite).
-    fused_mask_head: bool = True
+    # running every pyramid level's head over every box. Measured SLOWER on
+    # v5e (15.8ms vs 12.2ms joint inference, batch 4 @512px): gathering
+    # per-box conv weights turns the compute-cheap head into an HBM-bound
+    # op. Kept as an experiment; default off.
+    fused_mask_head: bool = False
 
 
 _GROUP_TYPES = {

@@ -18,6 +18,37 @@ from .ops.boxes import pairwise_iou
 EPS = 1e-7
 
 
+def confusion_matrix_metric(cls_true, cls_pred, mask, threshold=0.3):
+    """Anchor-classification precision/recall/accuracy/F1.
+
+    Port of ``ConfusionMatrixMetric`` (metrics.py:11-69) — defined but
+    unused in the reference's graphs; provided for completeness.
+    cls_true/cls_pred [B,N,C]; mask [B,N,1] (1 neg, 0 pos, -1 ignore).
+    """
+    num_classes = cls_pred.shape[-1]
+    ct = cls_true.reshape(-1, num_classes)
+    cp = cls_pred.reshape(-1, num_classes)
+    m = mask.reshape(-1)
+    pos_mask = (m == 0.0)
+    ignore = (m != -1.0).astype(jnp.float32)
+
+    y_true = jnp.where(pos_mask, jnp.argmax(ct, axis=1), num_classes)
+    conf = jnp.max(cp, axis=1)
+    y_pred = jnp.where(conf > threshold, jnp.argmax(cp, axis=1),
+                       num_classes)
+    correct = y_true == y_pred
+    predicted_pos = y_pred < num_classes
+    tp = jnp.sum((correct & predicted_pos) * ignore)
+    fp = jnp.sum((~correct & predicted_pos) * ignore)
+    fn = jnp.sum((~correct & ~predicted_pos) * ignore)
+    tn = jnp.sum((correct & ~predicted_pos) * ignore)
+    precision = tp / (tp + fp + EPS)
+    recall = tp / (tp + fn + EPS)
+    accuracy = (tp + tn) / (tp + tn + fp + fn + EPS)
+    f1 = 2 * precision * recall / (precision + recall + EPS)
+    return precision, recall, accuracy, f1
+
+
 def class_binary_iou(seg_true, seg_pred, threshold=0.5):
     """Per-class binary IoU -> [B, C] (1.0 where union is empty)."""
     t = (seg_true > threshold).astype(jnp.float32)

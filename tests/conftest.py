@@ -24,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+# persistent compile cache: the test host has one core and model-sized
+# XLA compiles dominate suite time; cache them across runs
+jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache_cpu')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
 assert len(jax.devices()) >= 8, (
     'tests need the 8-device virtual CPU mesh; got '
     f'{jax.devices()}')
