@@ -24,16 +24,16 @@ from ..layers import GroupNorm
 from .efficientnet import efficientnet_b2, efficientnet_b3, efficientnet_b4
 from .mobilenet import MobileNetV1
 from .preprocess import PREPROCESS_COMBOS, preprocess_for
-from .resnet import (resnet50, resnet101, resnext50, seresnet34, seresnet50,
-                     seresnext50)
+from .resnet import (resnet50, resnet50v2, resnet101, resnet101v2, resnext50,
+                     seresnet34, seresnet50, seresnext50)
 from .vgg import VGG16
 
 # name -> (body factory, prior-grid padding mode)
 BACKBONE_REGISTRY: Dict[str, Callable] = {
     'mobilenet': lambda dtype: MobileNetV1(dtype=dtype),
     'resnet50': lambda dtype: resnet50(dtype),
-    'resnet50v2': lambda dtype: resnet50(dtype),     # v2 preact variant: TODO
-    'resnet101v2': lambda dtype: resnet101(dtype),
+    'resnet50v2': lambda dtype: resnet50v2(dtype),
+    'resnet101v2': lambda dtype: resnet101v2(dtype),
     'resnext50': lambda dtype: resnext50(dtype),
     'seresnet34': lambda dtype: seresnet34(dtype),
     'seresnet50': lambda dtype: seresnet50(dtype),

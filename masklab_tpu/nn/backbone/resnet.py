@@ -110,6 +110,35 @@ class BottleneckBlock(nn.Module):
         return nn.relu(y + shortcut)
 
 
+class PreactBottleneck(nn.Module):
+    """BN-ReLU-conv pre-activation bottleneck (resnet v2 family)."""
+    filters: int
+    stride: int = 1
+    expansion: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out_ch = self.filters * self.expansion
+        pre = _BN(self.dtype)(x, train)
+        pre = nn.relu(pre)
+        if x.shape[-1] != out_ch or self.stride != 1:
+            shortcut = nn.Conv(out_ch, (1, 1), strides=(self.stride,) * 2,
+                               use_bias=False, dtype=self.dtype)(pre)
+        else:
+            shortcut = x
+        y = nn.Conv(self.filters, (1, 1), use_bias=False,
+                    dtype=self.dtype)(pre)
+        y = _BN(self.dtype)(y, train)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters, (3, 3), strides=(self.stride,) * 2,
+                    padding='SAME', use_bias=False, dtype=self.dtype)(y)
+        y = _BN(self.dtype)(y, train)
+        y = nn.relu(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype)(y)
+        return y + shortcut
+
+
 class _Stage(nn.Module):
     num_blocks: int
     filters: int
@@ -127,6 +156,10 @@ class _Stage(nn.Module):
             if self.block == 'basic':
                 x = BasicBlock(self.filters, stride, self.use_se,
                                self.dtype)(x, train)
+            elif self.block == 'preact':
+                x = PreactBottleneck(self.filters, stride,
+                                     expansion=self.expansion,
+                                     dtype=self.dtype)(x, train)
             else:
                 x = BottleneckBlock(self.filters, stride, self.groups,
                                     expansion=self.expansion,
@@ -151,8 +184,10 @@ class ResNet(nn.Module):
         # stem: 7x7/2 conv + BN + ReLU (C1), then 3x3/2 maxpool
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name='stem')(x)
-        x = _BN(self.dtype, name='stem_bn')(x, train)
-        x = nn.relu(x)
+        preact = self.block == 'preact'
+        if not preact:
+            x = _BN(self.dtype, name='stem_bn')(x, train)
+            x = nn.relu(x)
         endpoints['C1'] = x
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         strides = (1, 2, 2, 2)
@@ -162,11 +197,24 @@ class ResNet(nn.Module):
                        self.expansion, self.use_se, self.dtype,
                        name=f'stage{si + 2}')(x, train)
             endpoints[f'C{si + 2}'] = x
+        if preact:
+            # v2: final post-activation ('post_relu' endpoint, base.py:117)
+            x = _BN(self.dtype, name='post_bn')(x, train)
+            x = nn.relu(x)
+            endpoints['C5'] = x
         return endpoints
 
 
 def resnet50(dtype=jnp.float32):
     return ResNet(block='bottleneck', dtype=dtype)
+
+
+def resnet50v2(dtype=jnp.float32):
+    return ResNet(block='preact', dtype=dtype)
+
+
+def resnet101v2(dtype=jnp.float32):
+    return ResNet(stage_blocks=(3, 4, 23, 3), block='preact', dtype=dtype)
 
 
 def resnet101(dtype=jnp.float32):

@@ -36,6 +36,7 @@ from .optimizers import cyclic_lr, masked_updates, rectified_adam
 from .state import TrainState, trainable_mask
 from .steps import make_eval_step, make_train_step
 from ..losses import BoxLossState
+from ..utils.loggers import CSVLogger, MultiLogger, TensorBoardLogger
 
 
 def construct_masklab_datasets(config: ModelConfiguration):
@@ -67,6 +68,10 @@ class MaskLabTrainer:
         self.state: Optional[TrainState] = None
         self.ckpt = CheckpointManager(config.train.save_dir, config)
         self.history: Dict[str, list] = {}
+        self.metrics_logger = MultiLogger(
+            CSVLogger(os.path.join(config.train.save_dir, 'metrics.csv')),
+            TensorBoardLogger(os.path.join(config.train.save_dir, 'tb')))
+        self._global_epoch = 0
 
     # ---- setup ----
 
@@ -146,6 +151,12 @@ class MaskLabTrainer:
                 log_line += f' val_loss={val_loss:.5f}'
             self.log(log_line)
             self.history.setdefault(f'{name}_loss', []).append(train_loss)
+            epoch_metrics = {f'{k}': float(v) for k, v in metrics.items()}
+            epoch_metrics['train_loss'] = train_loss
+            if val_loss is not None:
+                epoch_metrics['val_loss'] = val_loss
+            self.metrics_logger.log(self._global_epoch, epoch_metrics)
+            self._global_epoch += 1
             self.ckpt.save_epoch(self.state,
                                  val_loss if val_loss is not None
                                  else train_loss, epoch)

@@ -14,8 +14,8 @@ def _build(backbone_type, hw=(64, 64), outputs=('C3', 'C4', 'C5', 'P6', 'P7')):
     model = BackboneNetwork(backbone_type=backbone_type,
                             backbone_outputs=outputs, num_features=32)
     x = jnp.zeros((1, *hw, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x)
-    out = model.apply(variables, x)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    out = jax.jit(model.apply)(variables, x)
     return model, variables, out
 
 

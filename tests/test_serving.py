@@ -108,6 +108,56 @@ def test_summary_output_table_shape():
     assert table.shape == (1, 5, 11)
 
 
+def test_predictor_end_to_end_with_server():
+    """Full pipeline: uint8 image -> jitted predictor -> HTTP round-trip.
+
+    The equivalent of the reference's post-deploy smoke test on
+    test/test_input.jpg (serving.py:97-106)."""
+    import time
+    import cv2
+    from masklab_tpu import ModelConfiguration
+    from masklab_tpu.models import build_masklab
+    from masklab_tpu.serving import (MaskLabPredictor, MaskLabServer,
+                                     send_image_to_server)
+
+    cfg = ModelConfiguration()
+    cfg.backbone.backbone_type = 'mobilenet'
+    cfg.backbone.num_features = 16
+    for g in (cfg.detection, cfg.instance, cfg.semantic):
+        g.num_features = 16
+        g.num_depth = 1
+    cfg.instance.crop_size = (7, 7)
+    cfg.semantic.num_aspp_features = 16
+    cfg.detection.nms_max_output_size = 4
+    cfg.compute.nms_candidates_per_class = 8
+    cfg.postprocess.resolution = (96, 128)
+
+    model = build_masklab(cfg)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 64, 64, 3)))
+    predictor = MaskLabPredictor(model, variables, cfg, visualization=True)
+
+    image = np.uint8(np.random.RandomState(0).rand(96, 128, 3) * 255)
+    out = predictor.predict(image)
+    assert out['det_boxes'].shape == (1, 4, 6)
+    assert out['semantic'].shape == (1, 96, 128, 3)
+    assert out['padded_masks'].shape[2:] == (96, 128)
+    assert out['visualize'].dtype == np.uint8
+    assert out['summarize'].shape == (1, 5, 11)
+
+    # HTTP round-trip
+    server = MaskLabServer(predictor, port=18765,
+                           instance_labels=cfg.dataset.instance_labels)
+    server.start(background=True)
+    time.sleep(0.3)
+    tmp = '/tmp/masklab_test_input.jpg'
+    cv2.imwrite(tmp, cv2.cvtColor(image, cv2.COLOR_RGB2BGR))
+    resp = send_image_to_server(tmp, port=18765)
+    server.stop()
+    assert 'objs' in resp and 'visualize_jpeg_b64' in resp
+    assert resp['latency_ms'] > 0
+
+
 def test_visualization_outputs_uint8():
     img = jnp.zeros((1, 16, 16, 3), jnp.float32)
     seg = jnp.ones((1, 16, 16, 3), jnp.float32)
