@@ -124,6 +124,65 @@ def pad_boxes_to(batch: Dict, max_boxes: int) -> Dict:
     return out
 
 
+class MultiprocessLoader:
+    """Worker-process batch loading (the fit_generator worker-pool
+    equivalent, engine/train.py:106-109).
+
+    Workers rebuild the dataset from its config dict — the reference's
+    multiprocessing-safety trick (generator/masklab.py:19-26) — and produce
+    batches by index; the parent interleaves requests round-robin.
+    """
+
+    def __init__(self, dataset_config: Dict, num_workers: int = 4,
+                 batch_size: int = 8, scale_ratio=(0.4, 0.6),
+                 scale_buckets=(0.4, 0.45, 0.5, 0.55, 0.6),
+                 prefetch: int = 4):
+        import multiprocessing as mp
+        self._ctx = mp.get_context('fork')
+        self.generator_args = dict(
+            dataset=dataset_config, batch_size=batch_size,
+            scale_ratio=scale_ratio, scale_buckets=scale_buckets,
+            shuffle=False)
+        probe = MaskLabGenerator(**self.generator_args)
+        self.num_batches = len(probe)
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self._pool = None
+
+    def _ensure_pool(self):
+        if self._pool is None:
+            self._pool = self._ctx.Pool(
+                self.num_workers, initializer=_loader_init,
+                initargs=(self.generator_args,))
+        return self._pool
+
+    def __len__(self):
+        return self.num_batches
+
+    def __iter__(self):
+        pool = self._ensure_pool()
+        for batch in pool.imap(_loader_get, range(self.num_batches),
+                               chunksize=1):
+            yield batch
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+
+
+_WORKER_GENERATOR = None
+
+
+def _loader_init(generator_args):
+    global _WORKER_GENERATOR
+    _WORKER_GENERATOR = MaskLabGenerator(**generator_args)
+
+
+def _loader_get(index):
+    return _WORKER_GENERATOR[index]
+
+
 class PrefetchIterator:
     """Background-thread prefetch wrapping any batch iterable."""
 

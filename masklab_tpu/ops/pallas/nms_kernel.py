@@ -68,9 +68,15 @@ def _nms_kernel(boxes_ref, valid_ref, keep_ref, *, iou_threshold: float,
     odd0 = f(valid_v)
     even1 = f(odd0)
     even, _, _ = jax.lax.while_loop(cond, body, (even1, odd0, jnp.int32(0)))
-    kept = even > 0.5
-    rank = jnp.cumsum(kept.astype(jnp.int32))
-    keep_ref[:] = (kept & (rank <= max_outputs))[:, None].astype(jnp.int32)
+    kept = (even > 0.5).astype(jnp.float32)
+    # inclusive prefix count via triangular matvec (cumsum has no Pallas
+    # TPU lowering): rank[i] = sum_j<=i kept[j]
+    tri = jnp.where(row <= col, 1.0, 0.0)                      # [K, K]
+    rank = jax.lax.dot_general(
+        kept[None, :], tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)[0]
+    keep_ref[:] = ((kept > 0.5) & (rank <= max_outputs))[:, None].astype(
+        jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=('iou_threshold', 'max_outputs',

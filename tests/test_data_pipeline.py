@@ -79,6 +79,19 @@ def test_pad_boxes_to_static_slots(data_dir):
     assert (batch['gt_boxes'][:, -1] == -1).all()
 
 
+def test_multiprocess_loader(data_dir):
+    from masklab_tpu.data import MultiprocessLoader
+    ds = MaskLabDataset(data_dir=data_dir, min_area=100.0)
+    loader = MultiprocessLoader(ds.get_config(), num_workers=2,
+                                batch_size=2, scale_buckets=(0.5,))
+    batches = list(loader)
+    loader.close()
+    assert len(batches) == len(loader)
+    for b in batches:
+        assert b['images'].shape[0] == 2
+        assert b['images'].shape[1] % 32 == 0
+
+
 def test_imglab_roundtrip(data_dir):
     import json
     path = os.path.join(data_dir, 'labels', 'car', 'labels.json')
