@@ -196,6 +196,9 @@ class ComputeConfig:
     # mesh axis sizes; data axis replaces the reference ParallelModel.
     mesh_data: int = 1
     mesh_model: int = 1
+    # rematerialize backbone activations in the backward pass
+    # (jax.checkpoint): trades FLOPs for HBM, enabling larger train batches.
+    remat_backbone: bool = False
     # fused per-box-weight mask head (one batched-GEMM pass) instead of
     # running every pyramid level's head over every box. Measured SLOWER on
     # v5e (15.8ms vs 12.2ms joint inference, batch 4 @512px): gathering

@@ -45,7 +45,12 @@ class MaskLab(nn.Module):
         num_det_classes = len(cfg.dataset.instance_labels)
         num_seg_classes = len(cfg.dataset.semantic_labels)
         self.prior = priors_from_config(cfg)
-        self.backbone = BackboneNetwork(
+        backbone_cls = BackboneNetwork
+        if cfg.compute.remat_backbone:
+            # recompute backbone activations in the backward pass
+            # (jax.checkpoint) — HBM for FLOPs, per SURVEY.md §7
+            backbone_cls = nn.remat(BackboneNetwork, static_argnums=(2,))
+        self.backbone = backbone_cls(
             backbone_type=cfg.backbone.backbone_type,
             backbone_outputs=tuple(cfg.backbone.backbone_outputs),
             num_features=cfg.backbone.num_features, dtype=dtype)
@@ -107,7 +112,8 @@ class MaskLab(nn.Module):
         """Backbone -> FPN -> cls/loc heads + ASPP/decoder + priors."""
         cfg = self.config
         images = images.astype(jnp.float32)
-        endpoints = self.backbone(images, train=train)
+        endpoints = self.backbone(images, train)  # positional: remat
+        # static_argnums counts (module, images, train)
         fpn_names = [n for n in cfg.backbone.backbone_outputs
                      if n in cfg.detection.feature_pyramid_inputs]
         other_names = [n for n in cfg.backbone.backbone_outputs
