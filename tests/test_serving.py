@@ -157,6 +157,18 @@ def test_predictor_end_to_end_with_server():
     assert 'objs' in resp and 'visualize_jpeg_b64' in resp
     assert resp['latency_ms'] > 0
 
+    # gRPC round-trip on the same predictor
+    try:
+        from masklab_tpu.serving import MaskLabGrpcServer, send_image_to_grpc
+    except ImportError:
+        return
+    gserver = MaskLabGrpcServer(predictor, port=18766,
+                                instance_labels=cfg.dataset.instance_labels)
+    gserver.start()
+    gresp = send_image_to_grpc(tmp, port=18766)
+    gserver.stop()
+    assert 'objs' in gresp and 'visualize_jpeg_b64' in gresp
+
 
 def test_visualization_outputs_uint8():
     img = jnp.zeros((1, 16, 16, 3), jnp.float32)
