@@ -71,18 +71,22 @@ class MaskLabPredictor:
             boxes_up, masks_up, sem_up = upsample_output(
                 det_boxes, inst_masks, sem, ds_hw, in_hw)
             padded = crop_and_pad_masks(boxes_up, masks_up, in_hw)
-            result = dict(det_boxes=boxes_up, instance_masks=masks_up,
-                          semantic=sem_up, padded_masks=padded)
             if self.visualization:
+                # serving payload: annotated image + analytics only — the
+                # big mask tensors stay on device (host transfer through
+                # the accelerator link dominates serving latency otherwise)
                 vis = draw_boxes(images, boxes_up)
                 vis = draw_instance(vis, boxes_up, padded,
                                     post.instance_colors, post.instance_alpha)
                 vis = draw_segmentation(vis, sem_up, post.semantic_colors,
                                         post.semantic_alpha)
-                result['visualize'] = vis
-                result['summarize'] = summary_output(
-                    boxes_up, sem_up, padded, post.default_road_size)
-            return result
+                return dict(det_boxes=boxes_up, visualize=vis,
+                            summarize=summary_output(
+                                boxes_up, sem_up, padded,
+                                post.default_road_size))
+            return dict(det_boxes=boxes_up, instance_masks=masks_up,
+                        semantic=sem_up.astype(jnp.uint8),
+                        padded_masks=(padded > 0.5).astype(jnp.uint8))
 
         return jax.jit(run)
 
@@ -92,6 +96,15 @@ class MaskLabPredictor:
         return self._jitted[in_hw]
 
     # ---- public API ----
+
+    def warmup(self, sizes) -> None:
+        """Pre-compile the pipeline for a set of static input resolutions
+        (the serving analog of the reference's recommended resolution range,
+        config.py:15-19 — each bucket compiles once, then serves hot)."""
+        import numpy as np
+        for hw in sizes:
+            dummy = np.zeros((1, hw[0], hw[1], 3), np.uint8)
+            self.predict(dummy)
 
     def predict(self, images: np.ndarray) -> Dict[str, np.ndarray]:
         """images: uint8 [H,W,3] or [B,H,W,3] RGB -> numpy outputs."""

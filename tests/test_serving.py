@@ -135,13 +135,16 @@ def test_predictor_end_to_end_with_server():
     model = build_masklab(cfg)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                                     jnp.zeros((1, 64, 64, 3)))
-    predictor = MaskLabPredictor(model, variables, cfg, visualization=True)
 
     image = np.uint8(np.random.RandomState(0).rand(96, 128, 3) * 255)
+    raw_predictor = MaskLabPredictor(model, variables, cfg)
+    raw = raw_predictor.predict(image)
+    assert raw['det_boxes'].shape == (1, 4, 6)
+    assert raw['semantic'].shape == (1, 96, 128, 3)
+    assert raw['padded_masks'].shape[2:] == (96, 128)
+
+    predictor = MaskLabPredictor(model, variables, cfg, visualization=True)
     out = predictor.predict(image)
-    assert out['det_boxes'].shape == (1, 4, 6)
-    assert out['semantic'].shape == (1, 96, 128, 3)
-    assert out['padded_masks'].shape[2:] == (96, 128)
     assert out['visualize'].dtype == np.uint8
     assert out['summarize'].shape == (1, 5, 11)
 
