@@ -44,6 +44,15 @@ class MaskLab(nn.Module):
         self.dtype = dtype
         num_det_classes = len(cfg.dataset.instance_labels)
         num_seg_classes = len(cfg.dataset.semantic_labels)
+        strides = [2 ** int(n[-1]) for n in cfg.backbone.backbone_outputs]
+        if strides != sorted(strides):
+            # priors are stride-sorted (pandas groupby semantics,
+            # detection.py:260-262); head outputs concatenate in
+            # backbone_outputs order — they must agree or cls/loc rows
+            # misalign with anchors
+            raise ValueError(
+                'backbone_outputs must be in ascending-stride order, got '
+                f'{cfg.backbone.backbone_outputs}')
         self.prior = priors_from_config(cfg)
         backbone_cls = BackboneNetwork
         if cfg.compute.remat_backbone:
