@@ -32,6 +32,10 @@ def ref():
     sys.modules['thirdparty'].Classifiers = None
     if not hasattr(tf, 'log'):
         tf.log = tf.math.log  # TF1 shim used by AssignBoxes
+    if not hasattr(np, 'int'):
+        np.int = int  # numpy<1.24 alias used by the reference's PriorBoxes
+    if not hasattr(tf, 'count_nonzero'):
+        tf.count_nonzero = tf.math.count_nonzero  # TF1 shim (MaskLoss)
     try:
         from engine.layers import detection as ref_detection
         from engine.layers import instance as ref_instance
@@ -171,6 +175,71 @@ def test_class_and_seg_loss_layer_parity(ref):
     got = np.asarray(seg_loss(jnp.asarray(seg_true), jnp.asarray(seg_pred),
                               jnp.asarray(seg_exists), weight=0.5))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_prior_layer_parity(ref):
+    """Anchor grid parity vs the reference's runtime PriorLayer."""
+    from masklab_tpu.prior import PriorBoxes, generate_priors
+    try:
+        layer = ref.detection.PriorLayer(
+            {'strides': [8, 16], 'sizes': [32, 64],
+             'pr_scales': [1.0, 2 ** (1 / 3)], 'pr_ratios': [0.5, 1, 2]},
+            padding='same')
+        want = layer(tf.zeros((1, 48, 80, 3))).numpy()[0]
+    except Exception as exc:
+        pytest.skip(f'PriorLayer not runnable here: {exc}')
+    prior = PriorBoxes([8, 16], [32, 64], [1.0, 2 ** (1 / 3)], [0.5, 1, 2])
+    got = generate_priors(48, 80, prior, padding='same')
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_mask_loss_layer_parity(ref):
+    from masklab_tpu.losses import mask_loss
+    b, r, hh, ww, c = 1, 3, 8, 8, 5
+    mask_true = np.full((b, r, hh, ww), c, np.int32)
+    mask_true[0, 0, :4] = 1
+    mask_true[0, 1, 2:6, 2:6] = 3
+    mask_pred = RNG.rand(b, r, hh, ww, c).astype(np.float32)
+    try:
+        want = ref.losses.MaskLoss(weight=0.01)(
+            [tf.constant(mask_true), tf.constant(mask_pred)]).numpy()
+    except Exception as exc:
+        pytest.skip(f'MaskLoss not runnable here: {exc}')
+    got = np.asarray(mask_loss(jnp.asarray(mask_true),
+                               jnp.asarray(mask_pred), weight=0.01))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_metrics_parity(ref):
+    sys.path.insert(0, '/root/reference')
+    try:
+        from engine import metrics as ref_metrics
+    except Exception as exc:
+        pytest.skip(f'metrics import failed: {exc}')
+    from masklab_tpu.metrics import class_binary_iou, detection_iou_metric
+    seg_true = (RNG.rand(2, 16, 16, 3) > 0.5).astype(np.float32)
+    seg_pred = RNG.rand(2, 16, 16, 3).astype(np.float32)
+    want = tf.stack(ref_metrics.ClassBinaryIOU(0.5)(
+        [tf.constant(seg_true), tf.constant(seg_pred)]), axis=1).numpy()
+    got = np.asarray(class_binary_iou(jnp.asarray(seg_true),
+                                      jnp.asarray(seg_pred)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    prop = np.full((2, 6, 6), -1.0, np.float32)
+    gt = np.full((2, 4, 6), -1.0, np.float32)
+    prop[0, 0] = [30, 30, 20, 20, 1, 0.9]
+    prop[0, 1] = [100, 100, 30, 30, 0, 0.8]
+    gt[0, 0] = [31, 30, 21, 20, 1, 1.0]
+    gt[1, 0] = [50, 50, 10, 10, 2, 1.0]
+    try:
+        wp, wr, wf = ref_metrics.DetectionIOUMetric()(
+            [tf.constant(prop), tf.constant(gt)])
+        wp, wr, wf = wp.numpy(), wr.numpy(), wf.numpy()
+    except Exception as exc:
+        pytest.skip(f'DetectionIOUMetric not runnable: {exc}')
+    gp, gr, gf = detection_iou_metric(jnp.asarray(prop), jnp.asarray(gt))
+    np.testing.assert_allclose(np.asarray(gp), wp, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gr), wr, rtol=1e-4, atol=1e-5)
 
 
 def test_loss_helpers_parity(ref):
