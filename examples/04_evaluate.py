@@ -37,11 +37,18 @@ def main(data_dir='/tmp/masklab_demo', save_dir=None):
     cfg.dataset.data_dir = data_dir
     cfg.dataset.min_area = 100.0
 
-    model = build_masklab(cfg)
     if save_dir and os.path.isdir(save_dir):
         from masklab_tpu.train.checkpoints import CheckpointManager
-        variables = CheckpointManager(save_dir).restore_variables()
+        ckpt = CheckpointManager(save_dir)
+        saved_cfg = ckpt.load_config()
+        if saved_cfg is not None:
+            saved_cfg.dataset = cfg.dataset
+            saved_cfg.postprocess.resolution = cfg.postprocess.resolution
+            cfg = saved_cfg
+        model = build_masklab(cfg)
+        variables = ckpt.restore_variables()
     else:
+        model = build_masklab(cfg)
         variables = jax.jit(model.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     predictor = MaskLabPredictor(model, variables, cfg)

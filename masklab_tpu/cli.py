@@ -50,6 +50,12 @@ def cmd_eval(args, save_dir: str = None) -> None:
     cfg = _load_config(args)
     save_dir = save_dir or cfg.train.save_dir
     ckpt = CheckpointManager(save_dir, None)
+    # rebuild the model from the checkpoint's config snapshot — CLI flags
+    # only override dataset/eval knobs, not the architecture
+    saved_cfg = ckpt.load_config()
+    if saved_cfg is not None:
+        saved_cfg.dataset = cfg.dataset
+        cfg = saved_cfg
     model = build_masklab(cfg)
     variables = ckpt.restore_variables()
     predictor = MaskLabPredictor(model, variables, cfg)
@@ -72,10 +78,16 @@ def _build_predictor(cfg, save_dir):
     from .serving.predictor import MaskLabPredictor
     from .train.checkpoints import CheckpointManager
 
-    model = build_masklab(cfg)
     if save_dir and os.path.isdir(save_dir):
-        variables = CheckpointManager(save_dir, None).restore_variables()
+        ckpt = CheckpointManager(save_dir, None)
+        saved_cfg = ckpt.load_config()
+        if saved_cfg is not None:
+            saved_cfg.postprocess = cfg.postprocess  # serving-time knobs
+            cfg = saved_cfg
+        model = build_masklab(cfg)
+        variables = ckpt.restore_variables()
     else:
+        model = build_masklab(cfg)
         import jax.numpy as jnp
         print('WARNING: no checkpoint dir, serving randomly-initialized '
               'weights (smoke mode)')

@@ -67,3 +67,13 @@ class CheckpointManager:
         if payload.get('batch_stats'):
             out['batch_stats'] = payload['batch_stats']
         return out
+
+    def load_config(self) -> Optional[ModelConfiguration]:
+        """The config snapshot saved next to the weights (train.py:31-32).
+        The model MUST be rebuilt from this, not from fresh CLI defaults —
+        the reference had the same contract (config.json travels with the
+        h5, serving.py:131-137)."""
+        path = os.path.join(self.save_dir, 'config.json')
+        if os.path.exists(path):
+            return ModelConfiguration.load_json(path)
+        return None

@@ -143,6 +143,11 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     mgr.save_epoch(state, loss=0.5, epoch=1)
     best = mgr.best_checkpoint()
     assert '0.50000-01' in best
+    # config snapshot travels with the weights and restores the same arch
+    loaded_cfg = mgr.load_config()
+    assert loaded_cfg is not None
+    assert (loaded_cfg.backbone.backbone_type
+            == cfg.backbone.backbone_type)
     restored = mgr.restore_variables()
     for (pa, a), (pb, b) in zip(
             jax.tree_util.tree_leaves_with_path(variables['params']),
