@@ -23,6 +23,7 @@ from flax import linen as nn
 from ..layers import GroupNorm
 from .efficientnet import efficientnet_b2, efficientnet_b3, efficientnet_b4
 from .mobilenet import MobileNetV1
+from .mobilenetv2 import MobileNetV2
 from .preprocess import PREPROCESS_COMBOS, preprocess_for
 from .resnet import (resnet50, resnet50v2, resnet101, resnet101v2, resnext50,
                      seresnet34, seresnet50, seresnext50)
@@ -31,6 +32,7 @@ from .vgg import VGG16
 # name -> (body factory, prior-grid padding mode)
 BACKBONE_REGISTRY: Dict[str, Callable] = {
     'mobilenet': lambda dtype: MobileNetV1(dtype=dtype),
+    'mobilenetv2': lambda dtype: MobileNetV2(dtype=dtype),
     'resnet50': lambda dtype: resnet50(dtype),
     'resnet50v2': lambda dtype: resnet50v2(dtype),
     'resnet101v2': lambda dtype: resnet101v2(dtype),
@@ -131,6 +133,17 @@ def module_frozen(backbone_type: str, module_name: str,
     if module_name.startswith('extras'):
         return False
     bt = backbone_type.lower()
+    if bt == 'mobilenetv2':
+        # taps sit at the first block of stages 1/2/3/5, same layout as
+        # efficientnet's stage table
+        if module_name.startswith('stem'):
+            return True
+        if module_name.startswith('top'):
+            return freeze_depth == 'C5'
+        m = re.match(r'stage(\d+)_', module_name)
+        if m:
+            return int(m.group(1)) <= _EFFNET_LAST_FROZEN_STAGE[freeze_depth]
+        return False
     if bt == 'mobilenet':
         if module_name == 'stem':
             return True

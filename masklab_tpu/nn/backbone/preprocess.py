@@ -24,6 +24,7 @@ PREPROCESS_COMBOS = {
     'seresnext50': (True, True, 3),
     'vgg16': (False, True, 0),
     'mobilenet': (False, False, 2),
+    'mobilenetv2': (False, False, 2),
     'efficientnetb2': (True, True, 3),
     'efficientnetb3': (True, True, 3),
     'efficientnetb4': (True, True, 3),

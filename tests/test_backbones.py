@@ -19,8 +19,9 @@ def _build(backbone_type, hw=(64, 64), outputs=('C3', 'C4', 'C5', 'P6', 'P7')):
     return model, variables, out
 
 
-@pytest.mark.parametrize('backbone_type', ['mobilenet', 'resnet50',
-                                           'seresnet34', 'resnext50'])
+@pytest.mark.parametrize('backbone_type', ['mobilenet', 'mobilenetv2',
+                                           'resnet50', 'seresnet34',
+                                           'resnext50'])
 def test_endpoint_strides(backbone_type):
     h = 128
     _, _, out = _build(backbone_type, hw=(h, h))
