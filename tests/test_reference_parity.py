@@ -242,6 +242,72 @@ def test_metrics_parity(ref):
     np.testing.assert_allclose(np.asarray(gr), wr, rtol=1e-4, atol=1e-5)
 
 
+def test_semantic_smoothing_parity(ref):
+    sys.path.insert(0, '/root/reference')
+    # TF1->TF2 signature shim for erosion2d/dilation2d (value, kernel,
+    # strides, rates, padding) -> (value, filters, strides, padding,
+    # data_format, dilations)
+    orig_ero, orig_dil = tf.nn.erosion2d, tf.nn.dilation2d
+
+    def ero(value, kernel, strides, rates, padding):
+        return orig_ero(value, kernel, strides=strides, padding=padding,
+                        data_format='NHWC', dilations=rates)
+
+    def dil(value, kernel, strides, rates, padding):
+        return orig_dil(value, kernel, strides=strides, padding=padding,
+                        data_format='NHWC', dilations=rates)
+
+    tf.nn.erosion2d, tf.nn.dilation2d = ero, dil
+    try:
+        from engine.layers import semantic as ref_semantic
+        from masklab_tpu.ops.morphology import semantic_smoothing
+        x = RNG.rand(1, 16, 16, 2).astype(np.float32)
+        want = ref_semantic.SemanticSmoothing(kernel_size=3, weight=1.5)(
+            tf.constant(x)).numpy()
+        got = np.asarray(semantic_smoothing(jnp.asarray(x), 3, 1.5))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+    finally:
+        tf.nn.erosion2d, tf.nn.dilation2d = orig_ero, orig_dil
+
+
+def test_trim_instances_parity(ref):
+    """Per-box class-channel selection vs the reference's TrimInstances
+    (gather + MoldBatch vs our fixed slots — compare as sets)."""
+    from masklab_tpu.models.instance import trim_instances
+    roi_boxes = np.full((1, 4, 6), -1.0, np.float32)
+    roi_boxes[0, 0] = [30, 30, 20, 20, 1, 0.9]
+    roi_boxes[0, 1] = [60, 60, 10, 10, 3, 0.7]
+    roi_masks = RNG.rand(1, 4, 6, 6, 5).astype(np.float32)
+    want_boxes, want_masks = ref.instance.TrimInstances(
+        mold=True, max_batch_size=1)(
+        [tf.constant(roi_boxes), tf.constant(roi_masks)])
+    want_masks = want_masks.numpy()
+    got_boxes, got_masks = trim_instances(jnp.asarray(roi_boxes),
+                                          jnp.asarray(roi_masks))
+    got_masks = np.asarray(got_masks)
+    # reference compacts valid rows first; ours keeps slot positions.
+    # compare the valid masks pairwise in order
+    np.testing.assert_allclose(got_masks[0, 0], want_masks[0, 0],
+                               atol=1e-6)  # class-1 channel of roi 0
+    np.testing.assert_allclose(got_masks[0, 1], want_masks[0, 1],
+                               atol=1e-6)  # class-3 channel of roi 1
+
+
+def test_downsample_parity(ref):
+    sys.path.insert(0, '/root/reference')
+    try:
+        from engine.layers import misc as ref_misc
+    except Exception as exc:
+        pytest.skip(f'misc import failed: {exc}')
+    from masklab_tpu.ops.resize import downsample_input
+    x = RNG.rand(1, 135, 240, 3).astype(np.float32) * 255
+    want = ref_misc.DownSampleInput(target_size=(54, 96))(
+        tf.constant(x)).numpy()
+    got = np.asarray(downsample_input(jnp.asarray(x), (54, 96)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
 def test_loss_helpers_parity(ref):
     from masklab_tpu.losses import binary_cross_entropy, focal_loss, smooth_l1
     yt = (RNG.rand(8, 5) > 0.5).astype(np.float32)
