@@ -81,7 +81,13 @@ class BackboneNetwork(nn.Module):
 
         need_extras = ('P6' in self.backbone_outputs or
                        'P7' in self.backbone_outputs)
-        if need_extras:
+        def check_nonempty(name, t):
+            if t.shape[-3] == 0 or t.shape[-2] == 0:
+                raise ValueError(
+                    f'input too small: extras level {name} came out '
+                    f'{t.shape[-3]}x{t.shape[-2]} — empty feature maps '
+                    'produce NaN GroupNorm statistics. Use a larger input '
+                    'or drop P6/P7 from backbone_outputs.')
             if name == 'mobilenet':
                 z6 = jnp.pad(last_c, [(0, 0), (0, 1), (0, 1), (0, 0)])
                 p6 = nn.Conv(self.num_features, (3, 3), strides=(2, 2),
@@ -92,6 +98,7 @@ class BackboneNetwork(nn.Module):
                              padding='SAME', dtype=self.dtype,
                              name='extras_P6_conv')(last_c)
             p6 = nn.relu(p6)
+            check_nonempty('P6', p6)
             if 'P6' in self.backbone_outputs:
                 outputs['P6'] = p6
             if 'P7' in self.backbone_outputs:
@@ -106,6 +113,7 @@ class BackboneNetwork(nn.Module):
                     p7 = nn.Conv(self.num_features, (3, 3), strides=(2, 2),
                                  padding='SAME', dtype=self.dtype,
                                  name='extras_P7_conv')(g6)
+                check_nonempty('P7', p7)
                 outputs['P7'] = nn.relu(p7)
         return outputs
 

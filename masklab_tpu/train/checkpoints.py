@@ -68,6 +68,37 @@ class CheckpointManager:
             out['batch_stats'] = payload['batch_stats']
         return out
 
+    def restore_state(self, state_template, path: Optional[str] = None):
+        """Full training resume: rebuild a TrainState from a checkpoint.
+
+        ``state_template`` is a freshly-created TrainState (same model +
+        optimizer) whose pytree structure guides the restore. The reference
+        had NO optimizer-state resume (SURVEY.md §5 — phases always
+        restarted the optimizer); here everything round-trips.
+        """
+        import jax.numpy as jnp
+        from flax import serialization
+
+        from ..losses import BoxLossState
+
+        payload = self.restore(path)
+        # from_state_dict maps the stored plain dicts back onto the
+        # template's containers (NamedTuple optimizer states etc.)
+        opt_state = serialization.from_state_dict(
+            state_template.opt_state, payload['opt_state'])
+        params = serialization.from_state_dict(state_template.params,
+                                               payload['params'])
+        batch_stats = serialization.from_state_dict(
+            state_template.batch_stats, payload['batch_stats'])
+        return state_template.replace(
+            step=jnp.asarray(payload['step'], jnp.int32),
+            params=params, batch_stats=batch_stats, opt_state=opt_state,
+            box_loss_state=BoxLossState(
+                moving_mean=jnp.asarray(
+                    payload['box_loss_state']['moving_mean'], jnp.float32),
+                moving_var=jnp.asarray(
+                    payload['box_loss_state']['moving_var'], jnp.float32)))
+
     def load_config(self) -> Optional[ModelConfiguration]:
         """The config snapshot saved next to the weights (train.py:31-32).
         The model MUST be rebuilt from this, not from fresh CLI defaults —

@@ -23,6 +23,9 @@ from masklab_tpu.train.checkpoints import CheckpointManager
 def tiny_config():
     cfg = ModelConfiguration()
     cfg.backbone.backbone_type = 'mobilenet'
+    # no P6/P7: at the 64px test size mobilenet's VALID-padded extras
+    # would be empty (0x0) feature maps
+    cfg.backbone.backbone_outputs = ('C3', 'C4', 'C5')
     cfg.backbone.num_features = 16
     cfg.detection.num_features = 16
     cfg.detection.num_depth = 1
@@ -143,14 +146,45 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     mgr.save_epoch(state, loss=0.5, epoch=1)
     best = mgr.best_checkpoint()
     assert '0.50000-01' in best
-    # config snapshot travels with the weights and restores the same arch
-    loaded_cfg = mgr.load_config()
-    assert loaded_cfg is not None
-    assert (loaded_cfg.backbone.backbone_type
-            == cfg.backbone.backbone_type)
     restored = mgr.restore_variables()
     for (pa, a), (pb, b) in zip(
             jax.tree_util.tree_leaves_with_path(variables['params']),
             jax.tree_util.tree_leaves_with_path(restored['params'])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     assert os.path.exists(os.path.join(str(tmp_path), 'config.json'))
+    # config snapshot travels with the weights and restores the same arch
+    loaded_cfg = mgr.load_config()
+    assert loaded_cfg is not None
+    assert (loaded_cfg.backbone.backbone_type
+            == cfg.backbone.backbone_type)
+
+
+def test_full_training_resume(setup, tmp_path):
+    """Optimizer state + step + BoxLoss moving stats all round-trip —
+    resumed training continues identically (the reference could not resume
+    optimizer state at all)."""
+    cfg, model, variables, batch = setup
+    small = {k: v[:2] for k, v in batch.items()}
+    tx = rectified_adam(1e-3)
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, with_metrics=False)
+    for _ in range(3):
+        state, _ = step(state, small)
+
+    mgr = CheckpointManager(str(tmp_path), cfg)
+    mgr.save_epoch(state, loss=1.0, epoch=0)
+
+    template = TrainState.create(variables, tx)
+    resumed = mgr.restore_state(template)
+    assert int(resumed.step) == 3
+    np.testing.assert_allclose(np.asarray(resumed.box_loss_state.moving_mean),
+                               np.asarray(state.box_loss_state.moving_mean))
+
+    # one more step from both must agree exactly
+    cont_a, ma = step(state, small)
+    cont_b, mb = step(resumed, small)
+    np.testing.assert_allclose(float(ma['loss']), float(mb['loss']),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(cont_a.params),
+                    jax.tree_util.tree_leaves(cont_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
