@@ -80,10 +80,16 @@ def _build_predictor(cfg, save_dir):
 
     if save_dir and os.path.isdir(save_dir):
         ckpt = CheckpointManager(save_dir, None)
-        saved_cfg = ckpt.load_config()
-        if saved_cfg is not None:
-            saved_cfg.postprocess = cfg.postprocess  # serving-time knobs
-            cfg = saved_cfg
+        serving_cfg_path = os.path.join(save_dir, 'serving_config.json')
+        if os.path.exists(serving_cfg_path):
+            # exported serving config (cmd_export) takes precedence
+            from .config import ModelConfiguration as _MC
+            cfg = _MC.load_json(serving_cfg_path)
+        else:
+            saved_cfg = ckpt.load_config()
+            if saved_cfg is not None:
+                saved_cfg.postprocess = cfg.postprocess  # serving knobs
+                cfg = saved_cfg
         model = build_masklab(cfg)
         variables = ckpt.restore_variables()
     else:
@@ -123,6 +129,29 @@ def cmd_process(args) -> None:
     print(f'processed {len(results)} images -> {dst}')
 
 
+def cmd_export(args) -> None:
+    """Re-export serving postprocess parameters into a checkpoint dir.
+
+    The reference's ``save_hyundai_model_with_visualization`` CLI rebuilt
+    the SavedModel with custom colors/alphas/smoothing/road-size params
+    (serving.py:112-151). Here the predictor is config-driven, so exporting
+    = writing a serving_config.json next to the weights; ``serve`` and
+    ``process`` pick it up.
+    """
+    if not args or args[0].startswith('-'):
+        raise SystemExit('usage: export <save_dir> [-postprocess.* ...]')
+    save_dir = args[0]
+    from .train.checkpoints import CheckpointManager
+    ckpt = CheckpointManager(save_dir, None)
+    cfg = ckpt.load_config() or ModelConfiguration()
+    overrides = ModelConfiguration()
+    ns = overrides.get_arg_parser(args=list(args[1:]))
+    overrides.apply_namespace(ns)
+    cfg.postprocess = overrides.postprocess
+    cfg.save_json(os.path.join(save_dir, 'serving_config.json'))
+    print(f'serving config exported to {save_dir}/serving_config.json')
+
+
 def cmd_etl(args) -> None:
     from .data.process import process_dataset
     cfg = _load_config([a for a in args if a.startswith('-')])
@@ -132,7 +161,7 @@ def cmd_etl(args) -> None:
 
 
 COMMANDS = {'train': cmd_train, 'eval': cmd_eval, 'serve': cmd_serve,
-            'process': cmd_process, 'etl': cmd_etl}
+            'process': cmd_process, 'etl': cmd_etl, 'export': cmd_export}
 
 
 def main(argv=None) -> None:

@@ -79,15 +79,17 @@ class BackboneNetwork(nn.Module):
         last_c = [endpoints[k] for k in ('C1', 'C2', 'C3', 'C4', 'C5')
                   if k in self.backbone_outputs][-1]
 
-        need_extras = ('P6' in self.backbone_outputs or
-                       'P7' in self.backbone_outputs)
-        def check_nonempty(name, t):
+        def check_nonempty(level_name, t):
             if t.shape[-3] == 0 or t.shape[-2] == 0:
                 raise ValueError(
-                    f'input too small: extras level {name} came out '
+                    f'input too small: extras level {level_name} came out '
                     f'{t.shape[-3]}x{t.shape[-2]} — empty feature maps '
                     'produce NaN GroupNorm statistics. Use a larger input '
                     'or drop P6/P7 from backbone_outputs.')
+
+        need_extras = ('P6' in self.backbone_outputs or
+                       'P7' in self.backbone_outputs)
+        if need_extras:
             if name == 'mobilenet':
                 z6 = jnp.pad(last_c, [(0, 0), (0, 1), (0, 1), (0, 0)])
                 p6 = nn.Conv(self.num_features, (3, 3), strides=(2, 2),

@@ -6,7 +6,21 @@ from masklab_tpu.cli import COMMANDS, _load_config, main
 
 
 def test_commands_registered():
-    assert set(COMMANDS) == {'train', 'eval', 'serve', 'process', 'etl'}
+    assert set(COMMANDS) == {'train', 'eval', 'serve', 'process', 'etl',
+                             'export'}
+
+
+def test_export_writes_serving_config(tmp_path):
+    import json
+    import os
+    d = str(tmp_path)
+    main(['export', d, '-postprocess.instance_alpha', '0.5',
+          '-postprocess.smoothing_kernel_sizes', '5', '5', '0'])
+    path = os.path.join(d, 'serving_config.json')
+    assert os.path.exists(path)
+    payload = json.load(open(path))
+    assert payload['postprocess']['instance_alpha'] == 0.5
+    assert payload['postprocess']['smoothing_kernel_sizes'] == [5, 5, 0]
 
 
 def test_load_config_overrides():
