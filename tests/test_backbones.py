@@ -71,10 +71,10 @@ def test_freeze_mask_depths():
 
 
 def test_batchnorm_collections_exist():
-    model, variables, _ = _build('mobilenet')
+    model, variables, _ = _build('mobilenet', hw=(128, 128))
     assert 'batch_stats' in variables
     # train-mode apply mutates batch stats
-    x = jnp.ones((1, 64, 64, 3))
+    x = jnp.ones((1, 128, 128, 3))
     _, mutated = model.apply(variables, x, train=True,
                              mutable=['batch_stats'])
     assert 'batch_stats' in mutated

@@ -122,6 +122,9 @@ def test_predictor_end_to_end_with_server():
 
     cfg = ModelConfiguration()
     cfg.backbone.backbone_type = 'mobilenet'
+    # P7 would be empty at this tiny serving resolution
+    cfg.backbone.backbone_outputs = ('C3', 'C4', 'C5')
+    cfg.detection.feature_pyramid_inputs = ('C3', 'C4', 'C5')
     cfg.backbone.num_features = 16
     for g in (cfg.detection, cfg.instance, cfg.semantic):
         g.num_features = 16
