@@ -111,6 +111,7 @@ class MaskLabTrainer:
                   epochs: int, base_lr: float, max_lr: float,
                   step_size: int, freeze_depth: str,
                   steps_per_epoch: Optional[int] = None) -> None:
+        schedule = cyclic_lr(base_lr, max_lr, step_size)
         tx = self._phase_tx(base_lr, max_lr, step_size, freeze_depth)
         self._rebuild_state_for_phase(tx)
         multi = self.mesh.devices.size > 1
@@ -153,6 +154,8 @@ class MaskLabTrainer:
             self.history.setdefault(f'{name}_loss', []).append(train_loss)
             epoch_metrics = {f'{k}': float(v) for k, v in metrics.items()}
             epoch_metrics['train_loss'] = train_loss
+            # lr history (the reference CyclicLR callback's history dict)
+            epoch_metrics['lr'] = float(schedule(int(self.state.step)))
             if val_loss is not None:
                 epoch_metrics['val_loss'] = val_loss
             self.metrics_logger.log(self._global_epoch, epoch_metrics)
