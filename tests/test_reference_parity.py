@@ -344,6 +344,39 @@ def test_road_analytics_parity(ref):
     np.testing.assert_array_equal(got_inc, want_inc)
 
 
+def test_crack_to_instance_parity(ref):
+    sys.path.insert(0, '/root/reference')
+    try:
+        from engine.layers import misc as ref_misc
+    except Exception as exc:
+        pytest.skip(f'misc import failed: {exc}')
+    from masklab_tpu.serving.summary import crack_to_instance
+    crack = np.zeros((1, 48, 64), np.float32)
+    crack[0, 10:20, 8:40] = 1.0
+    want_det, want_seg = ref_misc.CrackToInstance()(tf.constant(crack))
+    got_det, got_seg = crack_to_instance(jnp.asarray(crack))
+    np.testing.assert_allclose(np.asarray(got_det), want_det.numpy(),
+                               atol=1.0)  # int-cast center rounding
+    np.testing.assert_allclose(np.asarray(got_seg), want_seg.numpy())
+
+
+def test_draw_segmentation_parity(ref):
+    sys.path.insert(0, '/root/reference')
+    try:
+        from engine.layers import misc as ref_misc
+    except Exception as exc:
+        pytest.skip(f'misc import failed: {exc}')
+    from masklab_tpu.serving.visualize import draw_segmentation
+    img = (RNG.rand(1, 16, 16, 3) * 255).astype(np.float32)
+    seg = (RNG.rand(1, 16, 16, 3) > 0.5).astype(np.float32)
+    colors = [[64, 0, 128], [128, 96, 0], [128, 192, 0]]
+    want = ref_misc.DrawSegmentation(colors, alpha=0.3)(
+        [tf.constant(img), tf.constant(seg)]).numpy()
+    got = np.asarray(draw_segmentation(jnp.asarray(img), jnp.asarray(seg),
+                                       colors, 0.3))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_loss_helpers_parity(ref):
     from masklab_tpu.losses import binary_cross_entropy, focal_loss, smooth_l1
     yt = (RNG.rand(8, 5) > 0.5).astype(np.float32)
