@@ -64,8 +64,44 @@ def pyramid_roi_align(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     return crops
 
 
+class _LevelMaskHead(nn.Module):
+    """One pyramid level's mask head: [N,h,w,C] -> [N,2h,2w,classes]."""
+    num_classes: int
+    num_depth: int
+    num_features: int
+    use_separable_conv: bool
+    expand_ratio: float
+    use_squeeze_excite: bool
+    squeeze_ratio: float
+    groups: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        x = HeadBlock(self.num_depth, self.num_features,
+                      self.use_separable_conv, self.expand_ratio,
+                      self.use_squeeze_excite, self.squeeze_ratio,
+                      self.groups, self.dtype, name='block')(x)
+        x = nn.ConvTranspose(self.num_features, (2, 2), strides=(2, 2),
+                             padding='SAME', kernel_init=normal_init(0.01),
+                             dtype=self.dtype, name='upsample')(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.num_classes, (1, 1), kernel_init=normal_init(0.01),
+                    dtype=self.dtype, name='output')(x)
+        return nn.sigmoid(x)
+
+
 class MaskSubNet(nn.Module):
-    """Per-level mask heads; returns per-level mask stacks."""
+    """Per-level mask heads; returns per-level mask stacks.
+
+    When ``levels`` is given, a pyramid level with zero routed boxes skips
+    its head via ``nn.cond`` (XLA executes one branch): the cheap branch
+    runs the head on a single box (keeping the lifted variable access
+    identical across branches) and returns zeros — exactly what
+    ``select_by_level`` would pick from an unused level anyway. Road
+    scenes rarely populate every level, so this trims the
+    crop-all+select design's redundant compute at run time.
+    """
     num_blocks: int
     num_classes: int
     num_depth: int = 4
@@ -77,29 +113,42 @@ class MaskSubNet(nn.Module):
     groups: int = 16
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, level_crops: Sequence[jnp.ndarray]):
+    def setup(self):
+        self.heads = [
+            _LevelMaskHead(self.num_classes, self.num_depth,
+                           self.num_features, self.use_separable_conv,
+                           self.expand_ratio, self.use_squeeze_excite,
+                           self.squeeze_ratio, self.groups, self.dtype,
+                           name=f'level_{i}')
+            for i in range(self.num_blocks)]
+
+    def __call__(self, level_crops: Sequence[jnp.ndarray],
+                 levels: jnp.ndarray = None):
         """level_crops: per-level [B, K, h, w, C] -> per-level
-        [B, K, 2h, 2w, num_classes]."""
+        [B, K, 2h, 2w, num_classes]; levels [B, K] enables level skipping."""
         outs = []
         for idx, crop in enumerate(level_crops):
             b, k = crop.shape[0], crop.shape[1]
-            x = crop.reshape((b * k,) + crop.shape[2:])
-            x = HeadBlock(self.num_depth, self.num_features,
-                          self.use_separable_conv, self.expand_ratio,
-                          self.use_squeeze_excite, self.squeeze_ratio,
-                          self.groups, self.dtype, name=f'block_{idx}')(x)
-            x = nn.ConvTranspose(self.num_features, (2, 2), strides=(2, 2),
-                                 padding='SAME',
-                                 kernel_init=normal_init(0.01),
-                                 dtype=self.dtype,
-                                 name=f'upsample_{idx}')(x)
-            x = nn.relu(x)
-            x = nn.Conv(self.num_classes, (1, 1),
-                        kernel_init=normal_init(0.01), dtype=self.dtype,
-                        name=f'output_{idx}')(x)
-            x = nn.sigmoid(x)
-            outs.append(x.reshape((b, k) + x.shape[1:]))
+            flat_shape = (b * k,) + crop.shape[2:]
+            out_hw = (crop.shape[2] * 2, crop.shape[3] * 2)
+
+            def full(mdl, c, idx=idx, b=b, k=k):
+                y = mdl.heads[idx](c.reshape((b * k,) + c.shape[2:]))
+                return y.reshape((b, k) + y.shape[1:])
+
+            if levels is None or self.is_initializing():
+                outs.append(full(self, crop))
+                continue
+
+            def cheap(mdl, c, idx=idx, b=b, k=k, out_hw=out_hw):
+                # touch the same params on one box; contribute zeros
+                y = mdl.heads[idx](c.reshape((b * k,) + c.shape[2:])[:1])
+                zeros = jnp.zeros((b, k) + out_hw + (self.num_classes,),
+                                  y.dtype)
+                return zeros + (y * 0.0).reshape(-1)[0]
+
+            has_boxes = jnp.any(levels == idx)
+            outs.append(nn.cond(has_boxes, full, cheap, self, crop))
         return outs
 
 

@@ -157,7 +157,7 @@ class MaskLab(nn.Module):
         if self.use_fused_mask_head:
             own_crops = select_crops_by_level(crops, levels)
             return self.mask_subnet(own_crops, levels)
-        per_level_masks = self.mask_subnet(crops)
+        per_level_masks = self.mask_subnet(crops, levels)
         return select_by_level(per_level_masks, levels)
 
     # ---- forward passes ----
