@@ -1,0 +1,30 @@
+"""Configuration presets.
+
+``road_project_config`` reproduces the reference's experiment driver
+settings (road_project/train.py:21-63): seresnet34 backbone with C3..P6
+outputs, squeeze-excite heads, road-object anchor ratios, min_area 200,
+and 2-way data parallelism (gpu_count=2 -> mesh data axis).
+"""
+from __future__ import annotations
+
+from .config import ModelConfiguration
+
+
+def road_project_config(data_dir: str = None,
+                        save_dir: str = None) -> ModelConfiguration:
+    cfg = ModelConfiguration()
+    cfg.backbone.backbone_type = 'seresnet34'
+    cfg.backbone.backbone_outputs = ('C3', 'C4', 'C5', 'P6')
+    cfg.detection.feature_pyramid_inputs = ('C3', 'C4', 'C5')
+    cfg.detection.use_squeeze_excite = True
+    cfg.detection.pr_ratios = (1 / 2, 1, 2, 5, 8)
+    cfg.instance.use_squeeze_excite = True
+    cfg.semantic.use_squeeze_excite = True
+    cfg.dataset.min_area = 200.0
+    cfg.train.gpu_count = 2
+    cfg.compute.mesh_data = 2
+    if data_dir is not None:
+        cfg.dataset.data_dir = data_dir
+    if save_dir is not None:
+        cfg.train.save_dir = save_dir
+    return cfg
