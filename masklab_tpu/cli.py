@@ -22,9 +22,29 @@ from .config import ModelConfiguration
 
 
 def _load_config(args) -> ModelConfiguration:
-    cfg = ModelConfiguration()
-    ns = cfg.get_arg_parser(args=args)
-    cfg.apply_namespace(ns)
+    """Build a config from optional ``--preset=<name>`` + -group.attr
+    overrides (the preset plays the role of the reference driver's
+    hard-coded project defaults, road_project/train.py:21-63)."""
+    rest = []
+    preset = None
+    for a in args:
+        if a.startswith('--preset='):
+            preset = a.split('=', 1)[1]
+        else:
+            rest.append(a)
+    if preset in (None, 'default'):
+        cfg = ModelConfiguration()
+    elif preset == 'road':
+        from .presets import road_project_config
+        cfg = road_project_config()
+    else:
+        raise SystemExit(f'unknown preset: {preset} (default|road)')
+    ns = ModelConfiguration().get_arg_parser(args=rest)
+    defaults = ModelConfiguration()
+    for key, value in vars(ns).items():
+        group, _, attr = key.partition('.')
+        if attr and value != getattr(getattr(defaults, group), attr):
+            cfg.update(group, attr, value)
     return cfg
 
 

@@ -32,6 +32,15 @@ def test_load_config_overrides():
     assert cfg.detection.pr_ratios == (0.5, 1.0, 2.0)
 
 
+def test_preset_with_overrides():
+    cfg = _load_config(['--preset=road', '-train.batch_size', '4'])
+    assert cfg.backbone.backbone_type == 'seresnet34'
+    assert cfg.detection.use_squeeze_excite is True
+    assert cfg.train.batch_size == 4
+    # preset values survive when the flag isn't overridden
+    assert cfg.detection.pr_ratios == (0.5, 1, 2, 5, 8)
+
+
 def test_main_rejects_unknown_command():
     with pytest.raises(SystemExit):
         main(['frobnicate'])
