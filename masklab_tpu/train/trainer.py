@@ -204,7 +204,14 @@ def train_masklab_model(config: ModelConfiguration,
 
     trainer = MaskLabTrainer(config, max_gt_boxes=max_gt_boxes)
     trainer.init_state(train_gen[0])
-    trainer.smoke_check(train_gen, num_steps=smoke_steps)
+    # smoke check at the LARGEST scale bucket — proves the training graph
+    # compiles and the worst-case memory fits before real training, like
+    # the reference's max-scale 1+10-step fit (engine/train.py:84-110)
+    max_scale = max(train_gen.scale_buckets)
+    smoke_gen = MaskLabGenerator(
+        trainset.get_config(), scale_ratio=(max_scale, max_scale),
+        batch_size=t.batch_size, scale_buckets=(max_scale,), shuffle=False)
+    trainer.smoke_check(smoke_gen, num_steps=smoke_steps)
 
     if t.train_head_tune:
         trainer.run_phase('head', train_gen, valid_gen,
