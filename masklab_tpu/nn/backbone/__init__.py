@@ -143,6 +143,28 @@ def module_frozen(backbone_type: str, module_name: str,
     if module_name.startswith('extras'):
         return False
     bt = backbone_type.lower()
+    if bt == 'seresnet34':
+        # classification_models pre-activation family: the C2-C4 taps are
+        # the pre-activation ReLU *inside* the next stage's first unit
+        # (base.py:126-132), so at depth Ck stages <k freeze fully and
+        # stage k's unit 1 freezes only its preact BN ('bn1'), mirroring
+        # freeze_backbone's layer-order cutoff (base.py:319-345).
+        head, _, child = module_name.partition('/')
+        if head in ('bn_data', 'conv0', 'bn0'):
+            return True
+        if freeze_depth == 'C5':
+            return True
+        if head == 'bn1':
+            return False
+        m = re.match(r'stage(\d+)_unit(\d+)$', head)
+        if m:
+            stage, unit = int(m.group(1)), int(m.group(2))
+            depth = int(freeze_depth[1])
+            if stage < depth:
+                return True
+            if stage == depth and unit == 1:
+                return child.partition('/')[0] == 'bn1'
+        return False
     if bt == 'mobilenetv2':
         # taps sit at the first block of stages 1/2/3/5, same layout as
         # efficientnet's stage table
@@ -155,7 +177,7 @@ def module_frozen(backbone_type: str, module_name: str,
             return int(m.group(1)) <= _EFFNET_LAST_FROZEN_STAGE[freeze_depth]
         return False
     if bt == 'mobilenet':
-        if module_name == 'stem':
+        if module_name.startswith('stem'):
             return True
         m = re.match(r'(?:dw|pw)(\d+)', module_name)
         if m:

@@ -1,42 +1,69 @@
 """ResNet-family backbones: ResNet50(V1/V2), ResNeXt50, SE-ResNet34/50,
 SE-ResNeXt50 — flax, NHWC.
 
-Structural equivalents of the reference's Keras backbones
-(engine/backbone/base.py:104-182 lists the C1..C5 endpoint taps;
-thirdparty/classification_models provides seresnet34/50 + seresnext50;
-engine/backbone/ResNext.py hand-rolls ResNeXt50 through a
-DepthwiseConv-based grouped-conv trick). On TPU, grouped convolution is
-native (``feature_group_count``) so ResNeXt needs no such trick.
+Faithful structural ports of the reference's Keras backbones, block for
+block (verified by weight-transplant parity tests in
+tests/test_weight_transplant.py):
+
+  * ``seresnet34`` — classification_models *pre-activation* residual blocks
+    (thirdparty/classification_models/models/resnet.py:60-110): BN->ReLU
+    before the convs, shortcut from the input (``cut='pre'``) or from the
+    pre-activation through a 1x1 conv (``cut='post'`` on each stage's first
+    unit), ChannelSE before the Add, ``bn_data`` input BN (scale-less), and
+    a final ``bn1``/``relu1``. Endpoint taps C2-C4 are the pre-activation
+    ReLU *inside* the first unit of the next stage
+    (``stage{k}_unit1_relu1``, engine/backbone/base.py:126-132).
+  * ``seresnet50``/``seresnext50`` — senet.py post-activation bottlenecks
+    (thirdparty/classification_models/models/senet.py:44-131): stride on
+    the *first* 1x1 conv for seresnet50, on the grouped 3x3 for
+    seresnext50; SE before Add; explicit (1,1) zero-padding on strided
+    3x3 convs (ZeroPadding2D+valid, which differs from XLA 'SAME' at
+    stride 2).
+  * ``resnet50``/``resnet101`` — keras.applications v1 ("caffe") style:
+    stride on the first 1x1 conv, biased convs, BN eps 1.001e-5.
+  * ``resnext50`` — engine/backbone/ResNext.py: stride on the grouped 3x3
+    with explicit (1,1) padding, bias-free convs, eps 1.001e-5. On TPU,
+    grouped convolution is native (``feature_group_count``) so the
+    reference's DepthwiseConv split/reduce/merge trick is not needed.
+  * ``resnet50v2``/``resnet101v2`` — pre-activation v2 family. Deliberate
+    deviation (documented): stages stride their *first* block, where
+    keras.applications v2 strides the last; endpoint strides match.
 
 Endpoint convention (matching strides of the reference taps):
-  C1 stride 2 (post-stem activation), C2 stride 4 (end of stage2),
-  C3 stride 8, C4 stride 16, C5 stride 32 (final activation).
+  C1 stride 2 (post-stem activation), C2 stride 4, C3 stride 8,
+  C4 stride 16, C5 stride 32 (final activation).
 
-Stage submodules are named ``stem``/``stage2``..``stage5`` so the
-progressive-unfreeze driver can freeze by C-depth via parameter-path
-prefixes (the reference's freeze_backbone walks Keras layers by name,
-base.py:319-345).
+Submodules are named after the reference layer names where they exist
+(``stage{k}_unit{j}``, ``conv0``/``bn0``/``bn1``) so the progressive
+unfreeze driver and the keras-h5 importer can address them by name.
 """
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
 
+_PAD1 = ((1, 1), (1, 1))  # ZeroPadding2D(1) + 'valid' conv equivalent
+
 
 class _BN(nn.Module):
     dtype: Any = jnp.float32
+    eps: float = 1e-5
+    use_scale: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                            epsilon=1e-5, dtype=self.dtype,
-                            param_dtype=jnp.float32)(x)
+                            epsilon=self.eps, use_scale=self.use_scale,
+                            dtype=self.dtype, param_dtype=jnp.float32)(x)
 
 
 class _SE(nn.Module):
-    """Squeeze-excite for SE variants (classification_models ChannelSE)."""
+    """ChannelSE (classification_models _common_blocks.py:88-119): GAP ->
+    1x1 conv c/r (+bias) -> relu -> 1x1 conv c (+bias) -> sigmoid -> mul.
+    Implemented with Dense on the pooled vector (identical math; the h5
+    importer squeezes the (1,1,c,c/r) conv kernels to (c,c/r))."""
     reduction: int = 16
     dtype: Any = jnp.float32
 
@@ -44,15 +71,88 @@ class _SE(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         se = jnp.mean(x, axis=(-3, -2))
-        se = nn.Dense(max(1, c // self.reduction), dtype=self.dtype)(se)
+        se = nn.Dense(max(1, c // self.reduction), dtype=self.dtype,
+                      name='fc1')(se)
         se = nn.relu(se)
-        se = nn.Dense(c, dtype=self.dtype)(se)
+        se = nn.Dense(c, dtype=self.dtype, name='fc2')(se)
         se = nn.sigmoid(se)
         return x * se[..., None, None, :]
 
 
+class CMBasicBlock(nn.Module):
+    """classification_models pre-activation basic block
+    (thirdparty/classification_models/models/resnet.py:60-110).
+
+    preact = ReLU(BN(x)); shortcut = x (cut='pre') or conv1x1(preact)
+    (cut='post'); y = conv3x3(preact, stride) -> BN -> ReLU -> conv3x3;
+    y = SE(y)?; out = y + shortcut. The preact tensor is returned too —
+    it is the backbone's C2-C4 endpoint tap for stage-first units.
+    """
+    filters: int
+    stride: int = 1
+    cut: str = 'pre'
+    use_se: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        preact = _BN(self.dtype, eps=2e-5, name='bn1')(x, train)
+        preact = nn.relu(preact)
+        if self.cut == 'post':
+            shortcut = nn.Conv(self.filters, (1, 1),
+                               strides=(self.stride,) * 2, use_bias=False,
+                               dtype=self.dtype, name='sc')(preact)
+        else:
+            shortcut = x
+        y = nn.Conv(self.filters, (3, 3), strides=(self.stride,) * 2,
+                    padding=_PAD1, use_bias=False, dtype=self.dtype,
+                    name='conv1')(preact)
+        y = _BN(self.dtype, eps=2e-5, name='bn2')(y, train)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters, (3, 3), padding=_PAD1, use_bias=False,
+                    dtype=self.dtype, name='conv2')(y)
+        if self.use_se:
+            y = _SE(dtype=self.dtype, name='se')(y)
+        return y + shortcut, preact
+
+
+class CMResNet(nn.Module):
+    """classification_models ResNet/SE-ResNet (resnet18/34 family) with
+    pre-activation blocks and the reference's endpoint taps:
+    C1='relu0', C2-C4='stage{2..4}_unit1_relu1', C5='relu1'
+    (engine/backbone/base.py:126-132)."""
+    stage_blocks: Sequence[int] = (3, 4, 6, 3)
+    use_se: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        endpoints = {}
+        x = _BN(self.dtype, eps=2e-5, use_scale=False,
+                name='bn_data')(x, train)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name='conv0')(x)
+        x = _BN(self.dtype, eps=2e-5, name='bn0')(x, train)
+        x = nn.relu(x)
+        endpoints['C1'] = x
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        for si, blocks in enumerate(self.stage_blocks):
+            filters = 64 * (2 ** si)
+            for bi in range(blocks):
+                stride = 2 if (bi == 0 and si > 0) else 1
+                cut = 'post' if bi == 0 else 'pre'
+                x, preact = CMBasicBlock(
+                    filters, stride, cut, self.use_se, self.dtype,
+                    name=f'stage{si + 1}_unit{bi + 1}')(x, train)
+                if bi == 0 and si > 0:
+                    endpoints[f'C{si + 1}'] = preact
+        x = _BN(self.dtype, eps=2e-5, name='bn1')(x, train)
+        endpoints['C5'] = nn.relu(x)
+        return endpoints
+
+
 class BasicBlock(nn.Module):
-    """3x3 + 3x3 residual block (resnet18/34 family)."""
+    """Post-activation 3x3+3x3 residual block (plain resnet18/34 v1)."""
     filters: int
     stride: int = 1
     use_se: bool = False
@@ -79,34 +179,48 @@ class BasicBlock(nn.Module):
 
 
 class BottleneckBlock(nn.Module):
-    """1x1 -> 3x3 (optionally grouped) -> 1x1 residual bottleneck."""
+    """1x1 -> 3x3 (optionally grouped) -> 1x1 post-activation bottleneck.
+
+    ``stride_first`` places the stride on the first 1x1 conv
+    (keras.applications v1 "caffe" style and senet.py SEResNetBottleneck);
+    otherwise the stride sits on the 3x3 with explicit (1,1) padding
+    (ResNeXt / SEResNeXt style, ZeroPadding2D+valid in the reference).
+    SE (when enabled) applies before the Add (senet.py:76-81).
+    """
     filters: int               # inner width
     stride: int = 1
     groups: int = 1            # 32 for ResNeXt
     expansion: int = 4
     use_se: bool = False
+    stride_first: bool = False
+    conv_bias: bool = False
+    bn_eps: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out_ch = self.filters * self.expansion
         shortcut = x
-        y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype)(x)
-        y = _BN(self.dtype)(y, train)
+        s1 = (self.stride,) * 2 if self.stride_first else (1, 1)
+        s3 = (1, 1) if self.stride_first else (self.stride,) * 2
+        y = nn.Conv(self.filters, (1, 1), strides=s1,
+                    use_bias=self.conv_bias, dtype=self.dtype)(x)
+        y = _BN(self.dtype, eps=self.bn_eps)(y, train)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), strides=(self.stride,) * 2,
-                    padding='SAME', feature_group_count=self.groups,
-                    use_bias=False, dtype=self.dtype)(y)
-        y = _BN(self.dtype)(y, train)
+        y = nn.Conv(self.filters, (3, 3), strides=s3, padding=_PAD1,
+                    feature_group_count=self.groups,
+                    use_bias=self.conv_bias, dtype=self.dtype)(y)
+        y = _BN(self.dtype, eps=self.bn_eps)(y, train)
         y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype)(y)
-        y = _BN(self.dtype)(y, train)
+        y = nn.Conv(out_ch, (1, 1), use_bias=self.conv_bias,
+                    dtype=self.dtype)(y)
+        y = _BN(self.dtype, eps=self.bn_eps)(y, train)
         if self.use_se:
             y = _SE(dtype=self.dtype)(y)
         if shortcut.shape[-1] != out_ch or self.stride != 1:
             shortcut = nn.Conv(out_ch, (1, 1), strides=(self.stride,) * 2,
-                               use_bias=False, dtype=self.dtype)(x)
-            shortcut = _BN(self.dtype)(shortcut, train)
+                               use_bias=self.conv_bias, dtype=self.dtype)(x)
+            shortcut = _BN(self.dtype, eps=self.bn_eps)(shortcut, train)
         return nn.relu(y + shortcut)
 
 
@@ -147,6 +261,9 @@ class _Stage(nn.Module):
     groups: int = 1
     expansion: int = 4
     use_se: bool = False
+    stride_first: bool = False
+    conv_bias: bool = False
+    bn_eps: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -164,18 +281,25 @@ class _Stage(nn.Module):
                 x = BottleneckBlock(self.filters, stride, self.groups,
                                     expansion=self.expansion,
                                     use_se=self.use_se,
+                                    stride_first=self.stride_first,
+                                    conv_bias=self.conv_bias,
+                                    bn_eps=self.bn_eps,
                                     dtype=self.dtype)(x, train)
         return x
 
 
 class ResNet(nn.Module):
-    """Generic ResNet/ResNeXt/SE-ResNet body returning C1..C5 endpoints."""
+    """Generic post-activation ResNet/ResNeXt/SE-ResNet body returning
+    C1..C5 endpoints."""
     stage_blocks: Sequence[int] = (3, 4, 6, 3)
     stage_filters: Sequence[int] = (64, 128, 256, 512)
     block: str = 'bottleneck'
     groups: int = 1
     expansion: int = 4
     use_se: bool = False
+    stride_first: bool = False
+    conv_bias: bool = False
+    bn_eps: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -183,10 +307,11 @@ class ResNet(nn.Module):
         endpoints = {}
         # stem: 7x7/2 conv + BN + ReLU (C1), then 3x3/2 maxpool
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name='stem')(x)
+                    use_bias=self.conv_bias, dtype=self.dtype,
+                    name='stem')(x)
         preact = self.block == 'preact'
         if not preact:
-            x = _BN(self.dtype, name='stem_bn')(x, train)
+            x = _BN(self.dtype, eps=self.bn_eps, name='stem_bn')(x, train)
             x = nn.relu(x)
         endpoints['C1'] = x
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -194,7 +319,8 @@ class ResNet(nn.Module):
         for si, (blocks, filters, stride) in enumerate(
                 zip(self.stage_blocks, self.stage_filters, strides)):
             x = _Stage(blocks, filters, stride, self.block, self.groups,
-                       self.expansion, self.use_se, self.dtype,
+                       self.expansion, self.use_se, self.stride_first,
+                       self.conv_bias, self.bn_eps, self.dtype,
                        name=f'stage{si + 2}')(x, train)
             endpoints[f'C{si + 2}'] = x
         if preact:
@@ -206,7 +332,9 @@ class ResNet(nn.Module):
 
 
 def resnet50(dtype=jnp.float32):
-    return ResNet(block='bottleneck', dtype=dtype)
+    # keras.applications v1: stride on the first 1x1, biased convs
+    return ResNet(block='bottleneck', stride_first=True, conv_bias=True,
+                  bn_eps=1.001e-5, dtype=dtype)
 
 
 def resnet50v2(dtype=jnp.float32):
@@ -218,24 +346,32 @@ def resnet101v2(dtype=jnp.float32):
 
 
 def resnet101(dtype=jnp.float32):
-    return ResNet(stage_blocks=(3, 4, 23, 3), block='bottleneck', dtype=dtype)
+    return ResNet(stage_blocks=(3, 4, 23, 3), block='bottleneck',
+                  stride_first=True, conv_bias=True, bn_eps=1.001e-5,
+                  dtype=dtype)
 
 
 def resnext50(dtype=jnp.float32):
     # ResNeXt-50 32x4d: inner widths 128..1024, cardinality 32, expansion 2
+    # (engine/backbone/ResNext.py:180-235: stride on the grouped 3x3)
     return ResNet(stage_filters=(128, 256, 512, 1024), block='bottleneck',
-                  groups=32, expansion=2, dtype=dtype)
+                  groups=32, expansion=2, bn_eps=1.001e-5, dtype=dtype)
 
 
 def seresnet34(dtype=jnp.float32):
-    return ResNet(stage_blocks=(3, 4, 6, 3), block='basic', use_se=True,
-                  dtype=dtype)
+    # classification_models pre-activation SE-ResNet34 — the production
+    # road-config backbone (road_project/train.py:21-63)
+    return CMResNet(stage_blocks=(3, 4, 6, 3), use_se=True, dtype=dtype)
 
 
 def seresnet50(dtype=jnp.float32):
-    return ResNet(block='bottleneck', use_se=True, dtype=dtype)
+    # senet.py SEResNetBottleneck: stride on the first 1x1 conv
+    return ResNet(block='bottleneck', use_se=True, stride_first=True,
+                  bn_eps=2e-5, dtype=dtype)
 
 
 def seresnext50(dtype=jnp.float32):
+    # senet.py SEResNeXtBottleneck: stride on the grouped 3x3
     return ResNet(stage_filters=(128, 256, 512, 1024), block='bottleneck',
-                  groups=32, expansion=2, use_se=True, dtype=dtype)
+                  groups=32, expansion=2, use_se=True, bn_eps=2e-5,
+                  dtype=dtype)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -26,18 +27,42 @@ def normal_init(stddev: float = 0.01):
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm with the reference's epsilon (1e-5) and affine params."""
+    """The reference's GroupNormalization, bit-for-bit
+    (engine/normalization.py:116-160).
+
+    CAUTION — this is NOT textbook GroupNorm. The reference reuses the
+    keras-contrib channels-first reshape on channels-last data: the input
+    [B,H,W,C] is *flat*-reshaped to [B,G,H,W,C/G], so each "group" is a
+    contiguous band of H*W*C/G elements of the flattened feature map
+    (mixing spatial rows and channels), statistics reduce over that band,
+    and gamma/beta broadcast as [1,G,1,1,C/G] — i.e. the affine is per
+    (band, c mod C/G), not per channel. Reference-trained weights only
+    make sense under these semantics, so we reproduce them exactly
+    (verified by weight transplant in tests/test_weight_transplant.py).
+    """
     groups: int = 16
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        c = x.shape[-1]
         # clamp so narrow feature stacks (tests, small configs) still
-        # normalize; the reference required channels >= groups
-        groups = min(self.groups, x.shape[-1])
-        return nn.GroupNorm(num_groups=groups, epsilon=1e-5,
-                            dtype=self.dtype,
-                            param_dtype=jnp.float32)(x)
+        # normalize; the reference *errors* on channels < groups
+        groups = min(self.groups, c)
+        if c % groups:
+            raise ValueError(f'channels {c} not divisible by {groups} groups')
+        scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+        shape = x.shape
+        grouped = (shape[0], groups) + shape[1:-1] + (c // groups,)
+        g = x.reshape(shape[0], groups, -1).astype(jnp.float32)
+        mean = jnp.mean(g, axis=-1, keepdims=True)
+        var = jnp.var(g, axis=-1, keepdims=True)
+        g = (g - mean) * jax.lax.rsqrt(var + 1e-5)
+        g = g.reshape(grouped)
+        bshape = (1, groups) + (1,) * (len(shape) - 2) + (c // groups,)
+        g = g * scale.reshape(bshape) + bias.reshape(bshape)
+        return g.reshape(shape).astype(self.dtype)
 
 
 class SqueezeExcite(nn.Module):

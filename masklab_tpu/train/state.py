@@ -67,7 +67,10 @@ def trainable_mask(params, backbone_type: str, freeze_depth: str = 'C0'):
         if len(keys) >= 2 and keys[1].startswith('extras'):
             module = keys[1]
         elif len(keys) >= 3:
-            module = keys[2]
+            # joined subpath below the body so families with sub-unit
+            # freeze granularity (seresnet34's stage-first preact BN)
+            # can address children
+            module = '/'.join(keys[2:])
         else:
             module = keys[-1]
         return not module_frozen(backbone_type, module, freeze_depth)

@@ -1,35 +1,496 @@
-"""Keras .h5 checkpoint import for parity testing.
+"""Keras h5 checkpoint import: reference weights -> flax parameter trees.
 
-The reference checkpoints whole inference models to h5 and rebuilds them by
-layer-name regex (engine/callbacks.py:152-158, retinamasklab.py:528-584).
-For numeric-parity testing against reference-trained weights, this module
-reads an h5 weight file (h5py) and maps Keras conv/dense/GN weights onto
-the flax parameter tree.
+The reference checkpoints whole inference models to layer-name-addressed h5
+(engine/callbacks.py:152-158) and rebuilds them by layer-name regex
+(engine/retinamasklab.py:528-584). This module implements the inverse for
+the TPU framework: per-subnet converters that consume a reference layer's
+weights **in Keras creation order with name+shape validation at every
+step** (a mismatch raises — nothing is silently mis-assigned) and emit the
+matching flax subtree, plus ``load_reference_h5`` which assembles full
+MaskLab ``variables`` from a reference inference-model h5.
 
-Conventions handled:
-  * Conv2D kernel [kh, kw, in, out] — identical layout in flax;
-  * DepthwiseConv2D kernel [kh, kw, in, mult] -> flax grouped-conv kernel
-    [kh, kw, 1, in*mult];
-  * Dense [in, out] — identical;
-  * GroupNormalization gamma/beta -> flax GroupNorm scale/bias;
-  * BatchNorm gamma/beta/moving_mean/moving_var -> params + batch_stats.
+Layout conversions:
+  * Conv2D kernel [kh, kw, in, out] — identical in flax;
+  * DepthwiseConv2D kernel [kh, kw, C, mult] -> flax grouped-conv kernel
+    [kh, kw, 1, C*mult];
+  * Conv2DTranspose kernel [kh, kw, out, in] -> flax [kh, kw, in, out],
+    spatially flipped (Keras deconv scatters K[a,b] at out[s*i+a]; XLA
+    conv_transpose convolves the dilated input with the unflipped kernel);
+  * 1x1-conv SE blocks (ChannelSE) -> Dense [in, out];
+  * GroupNormalization gamma/beta -> GroupNorm scale/bias;
+  * BatchNorm gamma/beta/moving_mean/moving_variance -> params+batch_stats.
 
-Full-model import requires a per-backbone layer-name map; this round ships
-the generic machinery plus an ordered-assignment fallback
-(``assign_in_order``) that fills a flax subtree from the h5 file's
-creation-ordered weight list — sufficient for like-for-like architectures.
+Every converter mirrors the *creation order* of the reference layer's
+sublayers (Keras ``layer.weights`` order and the h5 ``weight_names`` attr
+both follow it), with the weight-name suffix checked against the expected
+kind, so a structural divergence anywhere fails loudly with the full
+context path. Verified live against the reference's own Keras layers in
+tests/test_weight_transplant.py.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+Weight = Tuple[str, np.ndarray]
 
-def read_h5_weights(path: str) -> List[Tuple[str, np.ndarray]]:
+# accepted weight-name suffixes per kind (Keras 2 / Keras 3 variants)
+_KINDS = {
+    'kernel': ('kernel',),
+    'depthwise_kernel': ('depthwise_kernel', 'kernel'),
+    'bias': ('bias',),
+    'gamma': ('gamma',),
+    'beta': ('beta',),
+    'moving_mean': ('moving_mean',),
+    'moving_variance': ('moving_variance',),
+}
+
+
+class ImportMismatch(ValueError):
+    """Raised when the checkpoint does not match the expected structure."""
+
+
+class WeightCursor:
+    """Ordered, validated consumption of a layer's weight list."""
+
+    def __init__(self, items: Sequence[Weight], ctx: str = ''):
+        self._items = [(self._norm(n), np.asarray(v)) for n, v in items]
+        self._pos = 0
+        self.ctx = ctx
+
+    @staticmethod
+    def _norm(name: str) -> str:
+        name = name.split(':')[0]
+        return name.rsplit('/', 1)[-1]
+
+    def __len__(self):
+        return len(self._items) - self._pos
+
+    def take(self, kind: str, shape: Optional[tuple] = None) -> np.ndarray:
+        if self._pos >= len(self._items):
+            raise ImportMismatch(
+                f'{self.ctx}: ran out of weights wanting a {kind!r}')
+        name, value = self._items[self._pos]
+        if name not in _KINDS[kind]:
+            raise ImportMismatch(
+                f'{self.ctx}: weight #{self._pos} is {name!r}, '
+                f'expected {kind!r}')
+        if shape is not None and tuple(value.shape) != tuple(shape):
+            raise ImportMismatch(
+                f'{self.ctx}: {name!r} has shape {value.shape}, '
+                f'expected {shape}')
+        self._pos += 1
+        return value.astype(np.float32)
+
+    def finish(self):
+        if self._pos != len(self._items):
+            left = [n for n, _ in self._items[self._pos:]]
+            raise ImportMismatch(
+                f'{self.ctx}: {len(left)} unconsumed weights: {left[:6]}')
+
+    def sub(self, n: int, ctx: str) -> 'WeightCursor':
+        """Split off the next ``n`` weights as a child cursor."""
+        child = WeightCursor(self._items[self._pos:self._pos + n],
+                             ctx=f'{self.ctx}/{ctx}')
+        self._pos += n
+        return child
+
+
+def weights_of_layer(layer) -> List[Weight]:
+    """Ordered [(name, array)] of a live Keras layer (creation order)."""
+    return [(getattr(w, 'path', None) or w.name, np.asarray(w))
+            for w in layer.weights]
+
+
+# ---------------------------------------------------------------------------
+# elementary converters (cursor position -> flax subtree)
+# ---------------------------------------------------------------------------
+
+def take_conv(cur: WeightCursor, use_bias: bool = True) -> Dict:
+    out = {'kernel': cur.take('kernel')}
+    if use_bias:
+        out['bias'] = cur.take('bias')
+    return out
+
+
+def take_depthwise(cur: WeightCursor) -> Dict:
+    """DepthwiseConv2D [kh,kw,C,mult] -> grouped nn.Conv [kh,kw,1,C*mult]."""
+    k = cur.take('depthwise_kernel')
+    kh, kw, cin, mult = k.shape
+    return {'kernel': k.reshape(kh, kw, cin * mult, 1).transpose(0, 1, 3, 2)
+            if mult == 1 else k.reshape(kh, kw, 1, cin * mult)}
+
+
+def take_conv_transpose(cur: WeightCursor, use_bias: bool = True,
+                        flip: bool = True) -> Dict:
+    """Conv2DTranspose [kh,kw,out,in] -> flax ConvTranspose [kh,kw,in,out]."""
+    k = cur.take('kernel').transpose(0, 1, 3, 2)
+    if flip:
+        k = k[::-1, ::-1]
+    out = {'kernel': np.ascontiguousarray(k)}
+    if use_bias:
+        out['bias'] = cur.take('bias')
+    return out
+
+
+def take_dense_from_conv(cur: WeightCursor, use_bias: bool = True) -> Dict:
+    """1x1 Conv2D used as a Dense (ChannelSE) -> Dense kernel [in, out]."""
+    k = cur.take('kernel')
+    if k.ndim == 4:
+        k = k[0, 0]
+    out = {'kernel': k}
+    if use_bias:
+        out['bias'] = cur.take('bias')
+    return out
+
+
+def take_gn(cur: WeightCursor) -> Dict:
+    """Reference GroupNormalization (gamma, beta) -> GroupNorm params."""
+    gamma = cur.take('gamma')
+    beta = cur.take('beta')
+    return {'scale': gamma, 'bias': beta}
+
+
+def take_bn(cur: WeightCursor, scale: bool = True) -> Tuple[Dict, Dict]:
+    """BatchNorm -> (params {scale?, bias}, stats {mean, var})."""
+    params = {}
+    if scale:
+        params['scale'] = cur.take('gamma')
+    params['bias'] = cur.take('beta')
+    stats = {'mean': cur.take('moving_mean'),
+             'var': cur.take('moving_variance')}
+    return params, stats
+
+
+def take_squeeze_excite(cur: WeightCursor) -> Dict:
+    """engine SqueezeExcite (two bias-free Dense) -> flax SqueezeExcite."""
+    return {'Dense_0': {'kernel': cur.take('kernel')},
+            'Dense_1': {'kernel': cur.take('kernel')}}
+
+
+def take_channel_se(cur: WeightCursor) -> Dict:
+    """classification_models ChannelSE (two biased 1x1 convs) -> _SE tree."""
+    return {'fc1': take_dense_from_conv(cur),
+            'fc2': take_dense_from_conv(cur)}
+
+
+def take_mobile_sep(cur: WeightCursor) -> Dict:
+    """MobileSeparableConv2D (misc.py:57-117): expand conv -> GN ->
+    depthwise -> GN -> squeeze conv -> GN (creation order)."""
+    return {
+        'Conv_0': take_conv(cur, use_bias=False),
+        'GroupNorm_0': take_gn(cur),
+        'Conv_1': take_depthwise(cur),
+        'GroupNorm_1': take_gn(cur),
+        'Conv_2': take_conv(cur, use_bias=False),
+        'GroupNorm_2': take_gn(cur),
+    }
+
+
+def take_atrous_sep(cur: WeightCursor) -> Dict:
+    """AtrousSeparableConv2D (semantic.py:32-90). Creation order is both
+    convs first, then both GNs (attribute order in __init__)."""
+    depth = take_depthwise(cur)
+    point = take_conv(cur, use_bias=False)
+    depth_gn = take_gn(cur)
+    point_gn = take_gn(cur)
+    return {'Conv_0': depth, 'GroupNorm_0': depth_gn,
+            'Conv_1': point, 'GroupNorm_1': point_gn}
+
+
+def take_head_block(cur: WeightCursor, num_depth: int,
+                    use_separable_conv: bool,
+                    use_squeeze_excite: bool) -> Dict:
+    """The shared depth x [SE? -> Conv|MSC -> GN] stack (HeadBlock)."""
+    out: Dict = {}
+    for d in range(num_depth):
+        if use_squeeze_excite:
+            out[f'SqueezeExcite_{d}'] = take_squeeze_excite(cur)
+        if use_separable_conv:
+            out[f'MobileSeparableConv_{d}'] = take_mobile_sep(cur)
+        else:
+            out[f'Conv_{d}'] = take_conv(cur)
+        out[f'GroupNorm_{d}'] = take_gn(cur)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# subnet converters (reference layer weights -> flax module params)
+# ---------------------------------------------------------------------------
+
+def convert_fpn(weights: Sequence[Weight], num_levels: int) -> Dict:
+    """FeaturePyramid (detection.py:30-74): per level (stride-descending),
+    1x1 lateral + 3x3 output, both biased."""
+    cur = WeightCursor(weights, 'feature_pyramid')
+    out: Dict = {}
+    for idx in range(num_levels):
+        out[f'lateral_{idx}'] = take_conv(cur)
+        out[f'output_{idx}'] = take_conv(cur)
+    cur.finish()
+    return out
+
+
+def convert_head_subnet(weights: Sequence[Weight], num_blocks: int,
+                        num_depth: int = 4, use_separable_conv: bool = False,
+                        use_squeeze_excite: bool = False,
+                        name: str = 'sub_net') -> Dict:
+    """ClassificationSubNet / BoxRegressionSubNet (detection.py:89-228):
+    per level, HeadBlock + biased 3x3 output conv."""
+    cur = WeightCursor(weights, name)
+    out: Dict = {}
+    for idx in range(num_blocks):
+        out[f'block_{idx}'] = take_head_block(
+            cur, num_depth, use_separable_conv, use_squeeze_excite)
+        out[f'output_{idx}'] = take_conv(cur)
+    cur.finish()
+    return out
+
+
+def convert_mask_subnet(weights: Sequence[Weight], num_blocks: int,
+                        num_depth: int = 4, use_separable_conv: bool = False,
+                        use_squeeze_excite: bool = False) -> Dict:
+    """MaskSubNet (instance.py:158-240): per level, HeadBlock + 2x2/2
+    transposed conv + 1x1 sigmoid output."""
+    cur = WeightCursor(weights, 'mask_sub_net')
+    out: Dict = {}
+    for idx in range(num_blocks):
+        out[f'level_{idx}'] = {
+            'block': take_head_block(cur, num_depth, use_separable_conv,
+                                     use_squeeze_excite),
+            'upsample': take_conv_transpose(cur),
+            'output': take_conv(cur),
+        }
+    cur.finish()
+    return out
+
+
+def convert_aspp(weights: Sequence[Weight],
+                 atrous_rate: Sequence[int] = (6, 12, 18)) -> Dict:
+    """ASPPNetwork (semantic.py:93-168)."""
+    cur = WeightCursor(weights, 'aspp')
+    out: Dict = {}
+    out['aspp_1x1'] = take_conv(cur, use_bias=False)
+    out['GroupNorm_0'] = take_gn(cur)
+    for rate in atrous_rate:
+        out[f'aspp_{rate}'] = take_atrous_sep(cur)
+    out['aspp_pool'] = take_conv(cur, use_bias=False)
+    out['concat_projection'] = take_conv(cur, use_bias=False)
+    out['GroupNorm_1'] = take_gn(cur)
+    cur.finish()
+    return out
+
+
+def convert_seg_subnet(weights: Sequence[Weight], num_depth: int = 2,
+                       use_separable_conv: bool = False,
+                       use_squeeze_excite: bool = False) -> Dict:
+    """SegmentationSubNet (semantic.py:178-246)."""
+    cur = WeightCursor(weights, 'segmentation_sub_net')
+    out: Dict = {}
+    out['skip_projection'] = take_conv(cur, use_bias=False)
+    out['GroupNorm_0'] = take_gn(cur)
+    out['HeadBlock_0'] = take_head_block(cur, num_depth, use_separable_conv,
+                                         use_squeeze_excite)
+    out['seg_output'] = take_conv(cur)
+    cur.finish()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# backbones (name-addressed layer weights)
+# ---------------------------------------------------------------------------
+
+def _group_by_layer(weights: Sequence[Weight]) -> List[Tuple[str, List[Weight]]]:
+    """Group a flat ordered weight list by its owning layer (the name's
+    second-to-last path component), preserving order."""
+    groups: List[Tuple[str, List[Weight]]] = []
+    for name, value in weights:
+        stripped = name.split(':')[0]
+        parts = stripped.split('/')
+        layer = parts[-2] if len(parts) >= 2 else stripped
+        if groups and groups[-1][0] == layer:
+            groups[-1][1].append((name, value))
+        else:
+            groups.append((layer, [(name, value)]))
+    return groups
+
+
+def convert_mobilenet(weights: Sequence[Weight]) -> Tuple[Dict, Dict]:
+    """keras.applications MobileNet(alpha=1) -> MobileNetV1 body
+    (params, batch_stats). Layer names: conv1, conv1_bn, conv_dw_k,
+    conv_dw_k_bn, conv_pw_k, conv_pw_k_bn."""
+    by_layer = dict(_group_by_layer(weights))
+
+    def conv_bn(conv_name: str, bn_name: str, depthwise: bool,
+                flax_name: str, params: Dict, stats: Dict):
+        cur = WeightCursor(by_layer.pop(conv_name), conv_name)
+        conv = take_depthwise(cur) if depthwise else take_conv(
+            cur, use_bias=False)
+        cur.finish()
+        cur = WeightCursor(by_layer.pop(bn_name), bn_name)
+        bn_p, bn_s = take_bn(cur)
+        cur.finish()
+        params[flax_name] = {'Conv_0': conv, 'BatchNorm_0': bn_p}
+        stats[flax_name] = {'BatchNorm_0': bn_s}
+
+    params: Dict = {}
+    stats: Dict = {}
+    conv_bn('conv1', 'conv1_bn', False, 'stem', params, stats)
+    for i in range(1, 14):
+        conv_bn(f'conv_dw_{i}', f'conv_dw_{i}_bn', True, f'dw{i}',
+                params, stats)
+        conv_bn(f'conv_pw_{i}', f'conv_pw_{i}_bn', False, f'pw{i}',
+                params, stats)
+    return params, stats
+
+
+def convert_seresnet34(weights: Sequence[Weight],
+                       stage_blocks: Sequence[int] = (3, 4, 6, 3)
+                       ) -> Tuple[Dict, Dict]:
+    """classification_models SEResNet34 -> CMResNet (params, batch_stats).
+
+    Named layers (bn_data, conv0, bn0, stage{k}_unit{j}_{conv1,bn1,...},
+    bn1) map by name; the ChannelSE 1x1 convs are anonymous ('conv2d_N')
+    and are consumed in creation order, two per unit, with shape checks.
+    """
+    groups = _group_by_layer(weights)
+    named: Dict[str, List[Weight]] = {}
+    anon: List[List[Weight]] = []
+    for layer, items in groups:
+        if re.fullmatch(r'conv2d(_\d+)?', layer):
+            anon.append(items)
+        else:
+            named.setdefault(layer, []).extend(items)
+
+    def gcur(name: str) -> WeightCursor:
+        if name not in named:
+            raise ImportMismatch(f'seresnet34: missing layer {name!r}')
+        return WeightCursor(named.pop(name), name)
+
+    def bn(name: str, scale: bool = True):
+        cur = gcur(name)
+        p, s = take_bn(cur, scale=scale)
+        cur.finish()
+        return {'BatchNorm_0': p}, {'BatchNorm_0': s}
+
+    def conv(name: str):
+        cur = gcur(name)
+        out = take_conv(cur, use_bias=False)
+        cur.finish()
+        return out
+
+    params: Dict = {}
+    stats: Dict = {}
+    params['bn_data'], stats['bn_data'] = bn('bn_data', scale=False)
+    params['conv0'] = conv('conv0')
+    params['bn0'], stats['bn0'] = bn('bn0')
+
+    se_iter = iter(anon)
+    for si, blocks in enumerate(stage_blocks):
+        for bi in range(blocks):
+            unit = f'stage{si + 1}_unit{bi + 1}'
+            p: Dict = {}
+            s: Dict = {}
+            p['bn1'], s['bn1'] = bn(unit + '_bn1')
+            if bi == 0:
+                p['sc'] = conv(unit + '_sc')
+            p['conv1'] = conv(unit + '_conv1')
+            p['bn2'], s['bn2'] = bn(unit + '_bn2')
+            p['conv2'] = conv(unit + '_conv2')
+            try:
+                se1 = next(se_iter)
+                se2 = next(se_iter)
+            except StopIteration:
+                raise ImportMismatch(f'seresnet34: no SE convs for {unit}')
+            c = p['conv2']['kernel'].shape[-1]
+            cur = WeightCursor(se1 + se2, unit + '_se')
+            se = take_channel_se(cur)
+            cur.finish()
+            if se['fc1']['kernel'].shape[0] != c:
+                raise ImportMismatch(
+                    f'{unit}: SE reduce kernel {se["fc1"]["kernel"].shape} '
+                    f'does not match {c} channels')
+            p['se'] = se
+            params[unit] = p
+            stats[unit] = s
+    params['bn1'], stats['bn1'] = bn('bn1')
+    for leftover in se_iter:
+        raise ImportMismatch(f'seresnet34: unconsumed SE convs {leftover}')
+    return params, stats
+
+
+_BACKBONE_CONVERTERS = {
+    'mobilenet': convert_mobilenet,
+    'seresnet34': convert_seresnet34,
+}
+
+
+def convert_backbone(weights: Sequence[Weight], backbone_type: str,
+                     has_extras: bool = True) -> Tuple[Dict, Dict]:
+    """Reference backbone Model weights (body + P6/P7 extras,
+    base.py:185-316) -> BackboneNetwork (params, batch_stats)."""
+    bt = backbone_type.lower()
+    if bt not in _BACKBONE_CONVERTERS:
+        raise NotImplementedError(
+            f'no weight converter for backbone {backbone_type!r} yet; '
+            f'available: {sorted(_BACKBONE_CONVERTERS)}')
+    body_w: List[Weight] = []
+    extras: Dict[str, List[Weight]] = {}
+    for name, value in weights:
+        layer = name.split(':')[0].split('/')[-2] if '/' in name else name
+        if layer in ('P6_conv', 'P6_norm', 'P7_conv'):
+            extras.setdefault(layer, []).append((name, value))
+        else:
+            body_w.append((name, value))
+    body_params, body_stats = _BACKBONE_CONVERTERS[bt](body_w)
+    body_name = {'mobilenet': 'MobileNetV1_0',
+                 'seresnet34': 'CMResNet_0'}[bt]
+    params: Dict = {body_name: body_params}
+    stats: Dict = {body_name: body_stats}
+    if extras:
+        cur = WeightCursor(extras['P6_conv'], 'P6_conv')
+        params['extras_P6_conv'] = take_conv(cur)
+        cur.finish()
+        if 'P6_norm' in extras:
+            cur = WeightCursor(extras['P6_norm'], 'P6_norm')
+            params['extras_P6_norm'] = take_gn(cur)
+            cur.finish()
+        if 'P7_conv' in extras:
+            cur = WeightCursor(extras['P7_conv'], 'P7_conv')
+            params['extras_P7_conv'] = take_conv(cur)
+            cur.finish()
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# whole-model h5 import
+# ---------------------------------------------------------------------------
+
+def read_h5_groups(path: str) -> Dict[str, List[Weight]]:
+    """Read a Keras h5 into {top_level_layer_name: ordered [(name, arr)]}.
+
+    Uses the ``layer_names`` / ``weight_names`` attrs (Keras 2 and Keras 3
+    legacy format both write them) so order is the layer's creation order.
+    """
+    import h5py
+    out: Dict[str, List[Weight]] = {}
+    with h5py.File(path, 'r') as f:
+        root = f['model_weights'] if 'model_weights' in f else f
+        layer_names = [n.decode() if isinstance(n, bytes) else n
+                       for n in root.attrs['layer_names']]
+        for layer in layer_names:
+            grp = root[layer]
+            wnames = [n.decode() if isinstance(n, bytes) else n
+                      for n in grp.attrs.get('weight_names', [])]
+            out[layer] = [(wn, np.asarray(grp[wn])) for wn in wnames]
+    return out
+
+
+def read_h5_weights(path: str) -> List[Weight]:
     """Flatten an h5 weight file into [(path, array)] in storage order."""
     import h5py
-    out: List[Tuple[str, np.ndarray]] = []
+    out: List[Weight] = []
 
     def visit(name, obj):
         if isinstance(obj, h5py.Dataset):
@@ -41,44 +502,72 @@ def read_h5_weights(path: str) -> List[Tuple[str, np.ndarray]]:
     return out
 
 
-def keras_kernel_to_flax(name: str, value: np.ndarray) -> np.ndarray:
-    """Convert a Keras weight array to the flax layout."""
-    lname = name.lower()
-    if 'depthwise_kernel' in lname and value.ndim == 4:
-        kh, kw, cin, mult = value.shape
-        return value.reshape(kh, kw, 1, cin * mult)
-    return value
+def find_group(names: Sequence[str], pattern: str) -> str:
+    """Regex lookup of a layer-group name, like the reference's
+    find_layer_name (retinamasklab.py:646-650)."""
+    matches = [n for n in names if re.search(pattern, n)]
+    if len(matches) != 1:
+        raise ImportMismatch(
+            f'pattern {pattern!r} matched {matches} in {list(names)}')
+    return matches[0]
 
 
-def assign_in_order(params, h5_weights: List[Tuple[str, np.ndarray]],
-                    strict: bool = False):
-    """Fill a flax params tree from an ordered Keras weight list.
+def load_reference_h5(path: str, config) -> Dict:
+    """Reference inference-model h5 -> MaskLab ``variables``.
 
-    Matches arrays by shape in sequence; leaves that find no shape-matching
-    candidate keep their initialization. Returns (new_params, report).
+    Discovers the subnet layer groups by the same name regexes the
+    reference uses to rebuild inference models
+    (retinamasklab.py:528-584), converts each with its structure-validated
+    converter, and returns {'params': ..., 'batch_stats': ...} matching
+    ``MaskLab`` (models/masklab.py).
     """
-    import jax
+    groups = read_h5_groups(path)
+    names = list(groups)
+    det = config.detection
+    ins = config.instance
+    sem = config.semantic
+    num_levels = len(config.backbone.backbone_outputs)
+    num_fpn = len([n for n in config.backbone.backbone_outputs
+                   if n in det.feature_pyramid_inputs])
 
-    available = [(n, keras_kernel_to_flax(n, v)) for n, v in h5_weights]
-    used = [False] * len(available)
-    report = {'assigned': 0, 'skipped': 0}
-
-    def fill(path, leaf):
-        leaf_np = np.asarray(leaf)
-        for i, (name, value) in enumerate(available):
-            if used[i]:
-                continue
-            if value.shape == leaf_np.shape:
-                used[i] = True
-                report['assigned'] += 1
-                return leaf_np.__class__(value) if False else value.astype(
-                    leaf_np.dtype)
-        report['skipped'] += 1
-        if strict:
-            raise ValueError(
-                f'no weight for {jax.tree_util.keystr(path)} '
-                f'shape {leaf_np.shape}')
-        return leaf_np
-
-    new_params = jax.tree_util.tree_map_with_path(fill, params)
-    return new_params, report
+    subnet_names = {find_group(names, pat) for pat in (
+        r'^feature_pyramid', r'^classification_sub_net',
+        r'^box_regression_sub_net', r'^mask_sub_net', r'^aspp',
+        r'^segmentation_sub_net')}
+    params: Dict = {}
+    stats: Dict = {}
+    bt = config.backbone.backbone_type.lower()
+    if bt in names:
+        # backbone saved as a nested Model layer
+        backbone_weights = groups[bt]
+    else:
+        # construct_inference_network reuses the backbone's input tensor
+        # (retinamasklab.py:427), flattening its layers into the top level;
+        # the backbone is every weight-bearing group that is not a subnet
+        backbone_weights = [w for name in names
+                            if name not in subnet_names
+                            for w in groups[name]]
+    params['backbone'], stats['backbone'] = convert_backbone(
+        backbone_weights, config.backbone.backbone_type)
+    params['fpn'] = convert_fpn(
+        groups[find_group(names, r'^feature_pyramid')], num_fpn)
+    params['cls_subnet'] = convert_head_subnet(
+        groups[find_group(names, r'^classification_sub_net')],
+        num_levels, det.num_depth, det.use_separable_conv,
+        det.use_squeeze_excite, name='classification_sub_net')
+    # reference quirk: loc head's use_squeeze_excite is wired from
+    # use_separable_conv (retinamasklab.py:95)
+    params['loc_subnet'] = convert_head_subnet(
+        groups[find_group(names, r'^box_regression_sub_net')],
+        num_levels, det.num_depth, det.use_separable_conv,
+        det.use_separable_conv, name='box_regression_sub_net')
+    params['mask_subnet'] = convert_mask_subnet(
+        groups[find_group(names, r'^mask_sub_net')],
+        ins.max_k + 1, ins.num_depth, ins.use_separable_conv,
+        ins.use_squeeze_excite)
+    params['aspp'] = convert_aspp(
+        groups[find_group(names, r'^aspp')], tuple(sem.atrous_rate))
+    params['seg_subnet'] = convert_seg_subnet(
+        groups[find_group(names, r'^segmentation_sub_net')],
+        sem.num_depth, sem.use_separable_conv, sem.use_squeeze_excite)
+    return {'params': params, 'batch_stats': stats}

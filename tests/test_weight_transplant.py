@@ -1,0 +1,282 @@
+"""Weight-transplant numeric parity vs the reference's parameterized Keras
+layers (VERDICT round-1 task 1).
+
+Each test instantiates the *reference layer itself* (engine/layers/*,
+engine/normalization.py, thirdparty backbones) with random weights,
+transplants the weights into the flax module through the structure-
+validated converters in masklab_tpu/utils/keras_import.py, feeds both the
+same input, and asserts the outputs agree. This proves the conv stacks
+themselves — not just the stateless math — are the reference's.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+tf = pytest.importorskip('tensorflow')
+
+from masklab_tpu.utils import keras_import as ki  # noqa: E402
+
+RNG = np.random.RandomState(42)
+
+
+@pytest.fixture(scope='module')
+def ref():
+    from ref_shim import reference_modules
+    try:
+        return reference_modules()
+    except Exception as exc:  # pragma: no cover - environment dependent
+        pytest.skip(f'reference import failed: {exc}')
+
+
+def randomize(layer, scale=0.1):
+    """Randomize every weight (positive values for moving variances)."""
+    new = []
+    for w in layer.weights:
+        name = (getattr(w, 'path', None) or w.name)
+        arr = RNG.randn(*w.shape).astype(np.float32) * scale
+        if 'moving_variance' in name:
+            arr = np.abs(arr) + 0.5
+        new.append(arr)
+    layer.set_weights(new)
+
+
+def _x(*shape, scale=1.0):
+    return (RNG.randn(*shape) * scale).astype(np.float32)
+
+
+def assert_close(got, want, tol=1e-5):
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=tol * 10, atol=tol)
+
+
+# ---------------------------------------------------------------------------
+# elementary layers
+# ---------------------------------------------------------------------------
+
+def test_group_normalization(ref):
+    from masklab_tpu.nn.layers import GroupNorm
+    x = _x(2, 8, 8, 32)
+    layer = ref.normalization.GroupNormalization(groups=16)
+    layer(tf.constant(x))
+    randomize(layer)
+    want = layer(tf.constant(x)).numpy()
+    cur = ki.WeightCursor(ki.weights_of_layer(layer), 'gn')
+    params = ki.take_gn(cur)
+    cur.finish()
+    got = GroupNorm(16).apply({'params': params}, jnp.asarray(x))
+    assert_close(got, want)
+
+
+def test_squeeze_excite(ref):
+    from masklab_tpu.nn.layers import SqueezeExcite
+    x = _x(2, 8, 8, 32)
+    layer = ref.misc.SqueezeExcite(ratio=16)
+    layer(tf.constant(x))
+    randomize(layer)
+    want = layer(tf.constant(x)).numpy()
+    cur = ki.WeightCursor(ki.weights_of_layer(layer), 'se')
+    params = ki.take_squeeze_excite(cur)
+    cur.finish()
+    got = SqueezeExcite(16.0).apply({'params': params}, jnp.asarray(x))
+    assert_close(got, want)
+
+
+def test_mobile_separable_conv(ref):
+    from masklab_tpu.nn.layers import MobileSeparableConv
+    x = _x(2, 8, 8, 32)
+    layer = ref.misc.MobileSeparableConv2D(32, (3, 3), expand_ratio=4,
+                                           groups=16)
+    layer(tf.constant(x))
+    randomize(layer)
+    want = layer(tf.constant(x)).numpy()
+    cur = ki.WeightCursor(ki.weights_of_layer(layer), 'msc')
+    params = ki.take_mobile_sep(cur)
+    cur.finish()
+    got = MobileSeparableConv(32, (3, 3), expand_ratio=4.0, groups=16).apply(
+        {'params': params}, jnp.asarray(x))
+    assert_close(got, want)
+
+
+def test_atrous_separable_conv(ref):
+    from masklab_tpu.nn.layers import AtrousSeparableConv
+    x = _x(2, 16, 16, 32)
+    layer = ref.semantic.AtrousSeparableConv2D(48, dilation_rate=3, groups=16)
+    layer(tf.constant(x))
+    randomize(layer)
+    want = layer(tf.constant(x)).numpy()
+    cur = ki.WeightCursor(ki.weights_of_layer(layer), 'asc')
+    params = ki.take_atrous_sep(cur)
+    cur.finish()
+    got = AtrousSeparableConv(48, dilation_rate=3, groups=16).apply(
+        {'params': params}, jnp.asarray(x))
+    assert_close(got, want)
+
+
+# ---------------------------------------------------------------------------
+# semantic path
+# ---------------------------------------------------------------------------
+
+def test_aspp_network(ref):
+    from masklab_tpu.models.semantic import ASPPNetwork
+    x = _x(2, 16, 16, 32)
+    layer = ref.semantic.ASPPNetwork(num_features=32, atrous_rate=(2, 4),
+                                     groups=16)
+    layer(tf.constant(x))
+    randomize(layer)
+    want = layer(tf.constant(x)).numpy()
+    params = ki.convert_aspp(ki.weights_of_layer(layer), atrous_rate=(2, 4))
+    got = ASPPNetwork(num_features=32, atrous_rate=(2, 4), groups=16).apply(
+        {'params': params}, jnp.asarray(x))
+    assert_close(got, want)
+
+
+@pytest.mark.parametrize('use_sep,use_se', [(False, False), (True, True)])
+def test_segmentation_subnet(ref, use_sep, use_se):
+    from masklab_tpu.models.semantic import SegmentationSubNet
+    # concat channels (dec 16 + skip 16) must equal num_features=32 for the
+    # separable variant's residual Add — a reference constraint too
+    dec = _x(1, 8, 8, 16)
+    skip = _x(1, 16, 16, 24)
+    layer = ref.semantic.SegmentationSubNet(
+        num_depth=2, num_features=32, num_skip_features=16, num_classes=3,
+        use_separable_conv=use_sep, expand_ratio=2,
+        use_squeeze_excite=use_se, squeeze_ratio=4, groups=16)
+    layer([tf.constant(dec), tf.constant(skip)])
+    randomize(layer)
+    want = layer([tf.constant(dec), tf.constant(skip)]).numpy()
+    params = ki.convert_seg_subnet(ki.weights_of_layer(layer), num_depth=2,
+                                   use_separable_conv=use_sep,
+                                   use_squeeze_excite=use_se)
+    got = SegmentationSubNet(
+        num_classes=3, num_depth=2, num_features=32, num_skip_features=16,
+        use_separable_conv=use_sep, expand_ratio=2.0,
+        use_squeeze_excite=use_se, squeeze_ratio=4.0, groups=16).apply(
+            {'params': params}, jnp.asarray(dec), jnp.asarray(skip))
+    assert_close(got, want)
+
+
+# ---------------------------------------------------------------------------
+# detection path
+# ---------------------------------------------------------------------------
+
+def _pyramid_inputs(channels=(24, 40, 64)):
+    sizes = [(16, 16), (8, 8), (4, 4)]
+    return [_x(1, h, w, c) for (h, w), c in zip(sizes, channels)]
+
+
+def test_feature_pyramid(ref):
+    from masklab_tpu.models.detection import FeaturePyramid
+    feats = _pyramid_inputs()
+    layer = ref.detection.FeaturePyramid(strides=[8, 16, 32],
+                                         num_features=32)
+    layer([tf.constant(f) for f in feats])
+    randomize(layer)
+    want = [t.numpy() for t in layer([tf.constant(f) for f in feats])]
+    params = ki.convert_fpn(ki.weights_of_layer(layer), num_levels=3)
+    got = FeaturePyramid(num_features=32).apply(
+        {'params': params}, [jnp.asarray(f) for f in feats])
+    for g, w in zip(got, want):
+        assert_close(g, w)
+
+
+@pytest.mark.parametrize('use_sep,use_se', [(False, False), (False, True),
+                                            (True, False)])
+def test_classification_subnet(ref, use_sep, use_se):
+    from masklab_tpu.models.detection import ClassificationSubNet
+    feats = _pyramid_inputs((32, 32, 32))
+    layer = ref.detection.ClassificationSubNet(
+        num_blocks=3, num_classes=4, num_depth=2, num_features=32,
+        num_priors=2, use_separable_conv=use_sep, expand_ratio=2,
+        use_squeeze_excite=use_se, squeeze_ratio=4, groups=16)
+    layer([tf.constant(f) for f in feats])
+    randomize(layer)
+    want = layer([tf.constant(f) for f in feats]).numpy()
+    params = ki.convert_head_subnet(
+        ki.weights_of_layer(layer), num_blocks=3, num_depth=2,
+        use_separable_conv=use_sep, use_squeeze_excite=use_se)
+    got = ClassificationSubNet(
+        num_blocks=3, num_classes=4, num_depth=2, num_features=32,
+        num_priors=2, use_separable_conv=use_sep, expand_ratio=2.0,
+        use_squeeze_excite=use_se, squeeze_ratio=4.0, groups=16).apply(
+            {'params': params}, [jnp.asarray(f) for f in feats])
+    assert_close(got, want)
+
+
+def test_box_regression_subnet(ref):
+    from masklab_tpu.models.detection import BoxRegressionSubNet
+    feats = _pyramid_inputs((32, 32, 32))
+    layer = ref.detection.BoxRegressionSubNet(
+        num_blocks=3, num_depth=2, num_features=32, num_priors=2, groups=16)
+    layer([tf.constant(f) for f in feats])
+    randomize(layer)
+    want = layer([tf.constant(f) for f in feats]).numpy()
+    params = ki.convert_head_subnet(
+        ki.weights_of_layer(layer), num_blocks=3, num_depth=2)
+    got = BoxRegressionSubNet(
+        num_blocks=3, num_depth=2, num_features=32, num_priors=2,
+        groups=16).apply({'params': params},
+                         [jnp.asarray(f) for f in feats])
+    assert_close(got, want)
+
+
+# ---------------------------------------------------------------------------
+# instance path
+# ---------------------------------------------------------------------------
+
+def test_mask_subnet(ref):
+    from masklab_tpu.models.instance import MaskSubNet
+    crops = [_x(1, 3, 7, 7, 32) for _ in range(2)]
+    layer = ref.instance.MaskSubNet(
+        num_blocks=2, num_classes=4, num_depth=2, num_features=32, groups=16)
+    layer([tf.constant(c) for c in crops])
+    randomize(layer)
+    want = layer([tf.constant(c) for c in crops]).numpy()  # concat axis=1
+    params = ki.convert_mask_subnet(
+        ki.weights_of_layer(layer), num_blocks=2, num_depth=2)
+    got = MaskSubNet(num_blocks=2, num_classes=4, num_depth=2,
+                     num_features=32, groups=16).apply(
+        {'params': params}, [jnp.asarray(c) for c in crops])
+    got = jnp.concatenate(got, axis=1)
+    assert_close(got, want)
+
+
+# ---------------------------------------------------------------------------
+# backbones
+# ---------------------------------------------------------------------------
+
+def test_seresnet34_backbone(ref):
+    """The production road-config backbone (road_project/train.py:21-63):
+    thirdparty pre-activation SE-ResNet34 vs CMResNet, all 5 endpoints."""
+    from masklab_tpu.nn.backbone.resnet import seresnet34
+    from thirdparty.classification_models.models.resnet import SEResNet34
+    m = SEResNet34(input_shape=(96, 96, 3), weights=None, include_top=False)
+    taps = ['relu0', 'stage2_unit1_relu1', 'stage3_unit1_relu1',
+            'stage4_unit1_relu1', 'relu1']
+    tap_model = tf.keras.Model(m.input,
+                               [m.get_layer(t).output for t in taps])
+    randomize(m)
+    x = _x(1, 96, 96, 3)
+    want = [t.numpy() for t in tap_model(tf.constant(x))]
+    params, stats = ki.convert_seresnet34(ki.weights_of_layer(m))
+    got = seresnet34().apply({'params': params, 'batch_stats': stats},
+                             jnp.asarray(x), train=False)
+    for i, name in enumerate(['C1', 'C2', 'C3', 'C4', 'C5']):
+        assert_close(got[name], want[i], tol=2e-4)
+
+
+def test_mobilenet_backbone(ref):
+    from masklab_tpu.nn.backbone.mobilenet import MobileNetV1
+    m = tf.keras.applications.MobileNet(
+        input_shape=(64, 64, 3), include_top=False, weights=None, alpha=1.0)
+    taps = [f'conv_pw_{k}_relu' for k in (1, 3, 5, 11, 13)]
+    tap_model = tf.keras.Model(m.input,
+                               [m.get_layer(t).output for t in taps])
+    randomize(m)
+    x = _x(1, 64, 64, 3)
+    want = [t.numpy() for t in tap_model(tf.constant(x))]
+    params, stats = ki.convert_mobilenet(ki.weights_of_layer(m))
+    got = MobileNetV1().apply({'params': params, 'batch_stats': stats},
+                              jnp.asarray(x), train=False)
+    for i, name in enumerate(['C1', 'C2', 'C3', 'C4', 'C5']):
+        assert_close(got[name], want[i], tol=2e-4)
