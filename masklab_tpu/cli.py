@@ -41,9 +41,20 @@ def _load_config(args) -> ModelConfiguration:
         raise SystemExit(f'unknown preset: {preset} (default|road)')
     ns = ModelConfiguration().get_arg_parser(args=rest)
     defaults = ModelConfiguration()
+    # flags literally present on the command line are ALWAYS applied, even
+    # when their value equals the library default — so a preset value can be
+    # re-asserted back to the default (e.g. `--preset=road
+    # -detection.use_squeeze_excite False`)
+    explicit = set()
+    for a in rest:
+        if a.startswith('-'):
+            key = a.lstrip('-').split('=', 1)[0]
+            if key in vars(ns):
+                explicit.add(key)
     for key, value in vars(ns).items():
         group, _, attr = key.partition('.')
-        if attr and value != getattr(getattr(defaults, group), attr):
+        if attr and (key in explicit or
+                     value != getattr(getattr(defaults, group), attr)):
             cfg.update(group, attr, value)
     return cfg
 

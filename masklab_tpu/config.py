@@ -153,6 +153,10 @@ class TrainConfig:
     save_dir: str = os.path.join(ROOT_DIR, 'logs/')
     gpu_count: int = 2
     use_multiprocessing: bool = True
+    # worker processes for batch building (fit_generator's worker pool,
+    # engine/train.py:106-109). 0 = in-process thread prefetch, the right
+    # default on few-core hosts; >0 requires use_multiprocessing.
+    data_workers: int = 0
     batch_size: int = 8
     max_batch_size: int = 32
     inference_batch_size: int = 1
@@ -205,6 +209,15 @@ class ComputeConfig:
     # per-box conv weights turns the compute-cheap head into an HBM-bound
     # op. Kept as an experiment; default off.
     fused_mask_head: bool = False
+    # capacity-bucketed mask branch (MaskSubNet.compact): each level's head
+    # runs only over its own (compacted) boxes at the smallest static
+    # capacity bucket that fits — exact, and fast in BOTH the sparse and the
+    # dense proposal regimes. Off = crop-all+select with empty-level
+    # skipping.
+    mask_compaction: bool = True
+    # static capacity buckets for mask_compaction, as fractions of the box
+    # count (K is always appended so nothing overflows).
+    mask_capacity_fractions: Tuple[float, ...] = (0.25, 0.5, 1.0)
 
 
 _GROUP_TYPES = {

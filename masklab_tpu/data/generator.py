@@ -138,7 +138,10 @@ class MultiprocessLoader:
                  scale_buckets=(0.4, 0.45, 0.5, 0.55, 0.6),
                  prefetch: int = 4):
         import multiprocessing as mp
-        self._ctx = mp.get_context('fork')
+        # spawn, not fork: the parent holds a live JAX runtime and forking
+        # its threads can deadlock the child (JAX warns on os.fork); spawned
+        # workers rebuild the generator from the picklable config instead
+        self._ctx = mp.get_context('spawn')
         self.generator_args = dict(
             dataset=dataset_config, batch_size=batch_size,
             scale_ratio=scale_ratio, scale_buckets=scale_buckets,

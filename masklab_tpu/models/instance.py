@@ -18,6 +18,7 @@ Flax / pure-JAX re-design of engine/layers/instance.py:
 """
 from __future__ import annotations
 
+import math
 from typing import Any, List, Sequence, Tuple
 
 import jax
@@ -26,7 +27,8 @@ from flax import linen as nn
 
 from ..nn.layers import HeadBlock, normal_init
 from ..ops.boxes import cxcywh_to_yxyx, pairwise_iou
-from ..ops.roi_align import crop_and_resize, crop_and_resize_indexed
+from ..ops.roi_align import (batched_crop_and_resize, crop_and_resize,
+                             crop_and_resize_indexed)
 
 EPS = 1e-7
 
@@ -150,6 +152,79 @@ class MaskSubNet(nn.Module):
             has_boxes = jnp.any(levels == idx)
             outs.append(nn.cond(has_boxes, full, cheap, self, crop))
         return outs
+
+    def compact(self, features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
+                levels: jnp.ndarray, image_hw: Tuple[int, int],
+                crop_size: Tuple[int, int],
+                capacity_fractions: Sequence[float] = (0.25, 0.5, 1.0)
+                ) -> jnp.ndarray:
+        """Capacity-bucketed crop+head: exact, dense-regime-fast.
+
+        The crop-all+select design (``__call__`` + ``select_by_level``) runs
+        every level's head over ALL K boxes — (max_k+1)x redundant when the
+        levels are populated. Here each level gathers only its own boxes
+        (per image, sorted level-first) into the smallest static capacity
+        bucket that fits the batch's worst-case count, runs its head on that
+        compacted slice, and scatter-adds the results back to the original
+        slots. Values are identical to select_by_level for every regime
+        (capacities include K, so nothing ever overflows); XLA compiles one
+        branch per bucket and ``lax.switch`` picks at run time.
+
+        Replaces the dynamic per-level partition + MoldBatch re-batch of the
+        reference (engine/layers/instance.py:109-139) with static shapes.
+        """
+        b, k = levels.shape
+        ch, cw = crop_size
+        norm = cxcywh_to_yxyx(boxes[..., :4].astype(jnp.float32), image_hw)
+        caps = sorted({max(1, int(math.ceil(k * f)))
+                       for f in capacity_fractions} | {k})
+        out_shape = (b, k, ch * 2, cw * 2, self.num_classes)
+
+        if self.is_initializing():
+            # initialize every head over the full capacity, no control flow
+            total = jnp.zeros(out_shape, jnp.float32)
+            for idx, fmap in enumerate(features):
+                crops = batched_crop_and_resize(fmap, norm, crop_size)
+                y = self.heads[idx](crops.reshape((b * k,) + crops.shape[2:]))
+                total = total + y.reshape((b, k) + y.shape[1:]).astype(
+                    jnp.float32)
+            return total * 0.0
+
+        total = jnp.zeros(out_shape, jnp.float32)
+        caps_arr = jnp.asarray(caps, jnp.int32)
+        for idx, fmap in enumerate(features):
+            is_l = levels == idx                              # [B, K]
+            # stable sort puts this level's boxes first per image, keeping
+            # their original relative order
+            order = jnp.argsort(jnp.where(is_l, 0, 1), axis=1,
+                                stable=True)                  # [B, K]
+            counts = jnp.sum(is_l, axis=1)                    # [B]
+            bucket = jnp.searchsorted(caps_arr, jnp.max(counts),
+                                      side='left')
+
+            def make_branch(c, idx=idx):
+                def branch(mdl, fmap, norm, order, counts):
+                    sel = order[:, :c]                        # [B, c]
+                    sel_boxes = jnp.take_along_axis(
+                        norm, sel[..., None], axis=1)         # [B, c, 4]
+                    crops = batched_crop_and_resize(fmap, sel_boxes,
+                                                    crop_size)
+                    y = mdl.heads[idx](
+                        crops.reshape((b * c,) + crops.shape[2:]))
+                    y = y.reshape((b, c) + y.shape[1:]).astype(jnp.float32)
+                    # slots past this image's count hold other levels' boxes
+                    valid = (jnp.arange(c)[None, :]
+                             < counts[:, None])               # [B, c]
+                    y = y * valid[..., None, None, None]
+                    full = jnp.zeros(out_shape, jnp.float32)
+                    return jax.vmap(
+                        lambda f, i, v: f.at[i].add(v))(full, sel, y)
+                return branch
+
+            total = total + nn.switch(
+                bucket, [make_branch(c) for c in caps],
+                self, fmap, norm, order, counts)
+        return total
 
 
 def select_by_level(per_level: Sequence[jnp.ndarray],

@@ -152,6 +152,12 @@ class MaskLab(nn.Module):
         """
         cfg = self.config.instance
         levels = mask_distribute(boxes, cfg.max_k, cfg.base_size)
+        if (self.config.compute.mask_compaction
+                and not self.use_fused_mask_head):
+            return self.mask_subnet.compact(
+                features[:cfg.max_k + 1], boxes, levels, image_hw,
+                tuple(cfg.crop_size),
+                tuple(self.config.compute.mask_capacity_fractions))
         crops = pyramid_roi_align(features[:cfg.max_k + 1], boxes, levels,
                                   image_hw, tuple(cfg.crop_size))
         if self.use_fused_mask_head:

@@ -24,6 +24,19 @@ _BASE_BLOCKS = [
 # block's expand activation
 _TAPS = {1: 'C1', 2: 'C2', 3: 'C3', 5: 'C4'}
 
+# Endpoint channel widths of the reference's ``efficientnet`` package
+# (block{2,3,4,6}a_expand_activation + top_activation,
+# engine/backbone/base.py:168-181, 259-279) — asserted by
+# tests/test_backbones.py against the built models.
+ENDPOINT_CHANNELS = {
+    'efficientnetb2': {'C1': 96, 'C2': 144, 'C3': 288, 'C4': 720,
+                       'C5': 1408},
+    'efficientnetb3': {'C1': 144, 'C2': 192, 'C3': 288, 'C4': 816,
+                       'C5': 1536},
+    'efficientnetb4': {'C1': 144, 'C2': 192, 'C3': 336, 'C4': 960,
+                       'C5': 1792},
+}
+
 
 def _round_filters(filters: int, width: float, divisor: int = 8) -> int:
     filters *= width
@@ -54,6 +67,7 @@ class _MBConv(nn.Module):
     stride: int
     kernel: int
     se_ratio: float = 0.25
+    drop_rate: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -83,6 +97,16 @@ class _MBConv(nn.Module):
         x = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype)(x)
         x = _BN(self.dtype)(x, train)
         if self.stride == 1 and self.in_ch == self.out_ch:
+            # drop-connect / stochastic depth on the residual branch (the
+            # efficientnet package applies it at train time with a rate that
+            # grows linearly with block depth). Per-sample binary gate,
+            # rescaled by 1/keep_prob; deterministic when no 'dropout' rng
+            # is supplied.
+            if self.drop_rate > 0.0:
+                x = nn.Dropout(
+                    rate=self.drop_rate, broadcast_dims=(1, 2, 3))(
+                        x, deterministic=not (train
+                                              and self.has_rng('dropout')))
             x = x + inputs
         return x, tap
 
@@ -90,6 +114,7 @@ class _MBConv(nn.Module):
 class EfficientNet(nn.Module):
     width: float = 1.0
     depth: float = 1.0
+    drop_connect_rate: float = 0.2
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -101,18 +126,24 @@ class EfficientNet(nn.Module):
         x = _BN(self.dtype, name='stem_bn')(x, train)
         x = nn.swish(x)
         in_ch = stem_ch
+        total_blocks = sum(_round_repeats(r, self.depth)
+                           for _, _, r, _, _ in _BASE_BLOCKS)
+        block_idx = 0
         for si, (expand, ch, repeats, stride, kernel) in \
                 enumerate(_BASE_BLOCKS):
             out_ch = _round_filters(ch, self.width)
             reps = _round_repeats(repeats, self.depth)
             for bi in range(reps):
                 s = stride if bi == 0 else 1
+                # linear stochastic-depth schedule over global block index
+                drop = self.drop_connect_rate * block_idx / total_blocks
                 x, tap = _MBConv(in_ch, out_ch, expand, s, kernel,
-                                 dtype=self.dtype,
+                                 drop_rate=drop, dtype=self.dtype,
                                  name=f'stage{si}_block{bi}')(x, train)
                 if bi == 0 and si in _TAPS:
                     endpoints[_TAPS[si]] = tap
                 in_ch = out_ch
+                block_idx += 1
         top_ch = _round_filters(1280, self.width)
         x = nn.Conv(top_ch, (1, 1), use_bias=False, dtype=self.dtype,
                     name='top_conv')(x)

@@ -59,13 +59,16 @@ def make_parallel_train_step(model, mesh: Mesh, with_metrics: bool = True,
     data = batch_sharding(mesh)
 
     def train_step(state, batch):
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(42), state.step)
+
         def loss_fn(params):
             variables = {'params': params}
             if state.batch_stats:
                 variables['batch_stats'] = state.batch_stats
             return compute_losses(model, variables, batch,
                                   state.box_loss_state, train=True,
-                                  with_metrics=with_metrics)
+                                  with_metrics=with_metrics,
+                                  dropout_rng=dropout_rng)
 
         grads, (new_bs, new_box_state, metrics) = jax.grad(
             loss_fn, has_aux=True)(state.params)

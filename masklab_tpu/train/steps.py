@@ -27,7 +27,7 @@ from ..models.semantic import assign_seg
 
 def compute_losses(model: MaskLab, variables: Dict, batch: Dict,
                    box_state, train: bool = True,
-                   with_metrics: bool = True) -> Tuple:
+                   with_metrics: bool = True, dropout_rng=None) -> Tuple:
     """Full trainer forward + losses.
 
     ``batch`` keys mirror the reference generator's feed dict
@@ -39,9 +39,13 @@ def compute_losses(model: MaskLab, variables: Dict, batch: Dict,
     lc = cfg.loss
 
     if train:
+        # 'dropout' feeds stochastic regularizers (efficientnet
+        # drop-connect); backbones without any are unaffected
+        rngs = ({'dropout': dropout_rng} if dropout_rng is not None
+                else None)
         out, mutated = model.apply(
             variables, batch['images'], batch['gt_boxes'], train=True,
-            method='trainer_outputs', mutable=['batch_stats'])
+            method='trainer_outputs', mutable=['batch_stats'], rngs=rngs)
         new_batch_stats = mutated['batch_stats']
     else:
         out = model.apply(variables, batch['images'], batch['gt_boxes'],
@@ -94,13 +98,16 @@ def make_train_step(model: MaskLab, with_metrics: bool = True,
     """
 
     def train_step(state, batch):
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(42), state.step)
+
         def loss_fn(params):
             variables = {'params': params}
             if state.batch_stats:
                 variables['batch_stats'] = state.batch_stats
             return compute_losses(model, variables, batch,
                                   state.box_loss_state, train=True,
-                                  with_metrics=with_metrics)
+                                  with_metrics=with_metrics,
+                                  dropout_rng=dropout_rng)
 
         grads, (new_bs, new_box_state, metrics) = jax.grad(
             loss_fn, has_aux=True)(state.params)

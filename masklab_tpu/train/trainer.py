@@ -26,7 +26,8 @@ import optax
 
 from ..config import ModelConfiguration
 from ..data.dataset import MaskLabDataset
-from ..data.generator import MaskLabGenerator, PrefetchIterator, pad_boxes_to
+from ..data.generator import (MaskLabGenerator, MultiprocessLoader,
+                              PrefetchIterator, pad_boxes_to)
 from ..models.masklab import MaskLab, build_masklab
 from ..parallel.mesh import (batch_sharding, make_mesh,
                              make_parallel_train_step, replicate_sharding,
@@ -36,7 +37,8 @@ from .optimizers import cyclic_lr, masked_updates, rectified_adam
 from .state import TrainState, trainable_mask
 from .steps import make_eval_step, make_train_step
 from ..losses import BoxLossState
-from ..utils.loggers import CSVLogger, MultiLogger, TensorBoardLogger
+from ..utils.loggers import (CSVLogger, MLflowLogger, MultiLogger,
+                             TensorBoardLogger)
 
 
 def construct_masklab_datasets(config: ModelConfiguration):
@@ -68,9 +70,18 @@ class MaskLabTrainer:
         self.state: Optional[TrainState] = None
         self.ckpt = CheckpointManager(config.train.save_dir, config)
         self.history: Dict[str, list] = {}
+        self.mlflow = MLflowLogger(
+            run_name=os.path.basename(config.train.save_dir.rstrip('/')))
         self.metrics_logger = MultiLogger(
             CSVLogger(os.path.join(config.train.save_dir, 'metrics.csv')),
-            TensorBoardLogger(os.path.join(config.train.save_dir, 'tb')))
+            TensorBoardLogger(os.path.join(config.train.save_dir, 'tb')),
+            self.mlflow)
+        # param logging at run start (road_project/train.py:68-87 logged the
+        # driver's config into MLflow before fitting)
+        self.mlflow.log_params({
+            f'{group}.{key}': value
+            for group, attrs in config.to_dict().items()
+            for key, value in attrs.items()})
         self._global_epoch = 0
 
     # ---- setup ----
@@ -124,45 +135,71 @@ class MaskLabTrainer:
         eval_fn = make_eval_step(self.model) if valid_generator else None
         steps = steps_per_epoch if steps_per_epoch is not None \
             else max(1, step_size // 2)
+        # worker-process batch building (fit_generator's worker pool) when
+        # configured; otherwise the in-process thread prefetch
+        t = self.config.train
+        loader = None
+        if t.use_multiprocessing and t.data_workers > 0:
+            loader = MultiprocessLoader(
+                generator.dataset.get_config(),
+                num_workers=t.data_workers,
+                batch_size=generator.batch_size,
+                scale_ratio=generator.scale_ratio,
+                scale_buckets=tuple(generator.scale_buckets))
+        source = loader if loader is not None else generator
 
         for epoch in range(epochs):
             t0 = time.time()
-            losses = []
-            it = iter(PrefetchIterator(generator, prefetch=4))
+            step_metrics = []
+            it = iter(PrefetchIterator(source, prefetch=4))
             for step_idx in range(steps):
                 try:
                     batch = next(it)
                 except StopIteration:
-                    it = iter(PrefetchIterator(generator, prefetch=4))
+                    it = iter(PrefetchIterator(source, prefetch=4))
                     batch = next(it)
                 batch = self._prepare(batch)
                 if multi:
                     batch = shard_batch(batch, self.mesh)
                 self.state, metrics = step_fn(self.state, batch)
-                losses.append(float(metrics['loss']))
-            train_loss = float(np.mean(losses)) if losses else float('nan')
+                step_metrics.append(
+                    {k: float(v) for k, v in metrics.items()})
+            # every logged metric is the epoch MEAN over steps (the
+            # reference's fit_generator averaged losses/metrics per epoch)
+            epoch_metrics = {
+                k: float(np.mean([m[k] for m in step_metrics]))
+                for k in (step_metrics[0] if step_metrics else {})}
+            train_loss = epoch_metrics.get('loss', float('nan'))
             log_line = (f'[{name}] epoch {epoch + 1}/{epochs} '
                         f'loss={train_loss:.5f} '
                         f'({time.time() - t0:.1f}s)')
             val_loss = None
             if eval_fn is not None and len(valid_generator) > 0:
-                vmetrics = eval_fn(self.state,
-                                   self._prepare(valid_generator[0]))
-                val_loss = float(vmetrics['loss'])
+                # full pass over the valid generator each epoch (the
+                # reference validates on the whole validation_data iterator,
+                # engine/train.py:106-153), not a single batch
+                vrows = []
+                for vi in range(len(valid_generator)):
+                    vm = eval_fn(self.state,
+                                 self._prepare(valid_generator[vi]))
+                    vrows.append({k: float(v) for k, v in vm.items()})
+                for k in vrows[0]:
+                    epoch_metrics[f'val_{k}'] = float(
+                        np.mean([r[k] for r in vrows]))
+                val_loss = epoch_metrics['val_loss']
                 log_line += f' val_loss={val_loss:.5f}'
             self.log(log_line)
             self.history.setdefault(f'{name}_loss', []).append(train_loss)
-            epoch_metrics = {f'{k}': float(v) for k, v in metrics.items()}
             epoch_metrics['train_loss'] = train_loss
             # lr history (the reference CyclicLR callback's history dict)
             epoch_metrics['lr'] = float(schedule(int(self.state.step)))
-            if val_loss is not None:
-                epoch_metrics['val_loss'] = val_loss
             self.metrics_logger.log(self._global_epoch, epoch_metrics)
             self._global_epoch += 1
             self.ckpt.save_epoch(self.state,
                                  val_loss if val_loss is not None
                                  else train_loss, epoch)
+        if loader is not None:
+            loader.close()
 
     def smoke_check(self, generator: MaskLabGenerator,
                     num_steps: int = 1) -> None:
@@ -196,9 +233,12 @@ def train_masklab_model(config: ModelConfiguration,
         trainset.get_config(), scale_ratio=t.scale_ratio,
         batch_size=t.batch_size,
         scale_buckets=config.compute.scale_buckets)
+    # valid batch = 4x train batch (engine/train.py:50), clamped so small
+    # validation sets still yield at least one full batch
     valid_gen = MaskLabGenerator(
         validset.get_config(), scale_ratio=t.scale_ratio,
-        batch_size=min(t.batch_size * 4, t.max_batch_size),
+        batch_size=min(t.batch_size * 4, t.max_batch_size,
+                       max(1, len(validset))),
         scale_buckets=config.compute.scale_buckets) \
         if len(validset) else None
 
@@ -229,4 +269,11 @@ def train_masklab_model(config: ModelConfiguration,
                           'C0', steps_per_epoch)
     with open(os.path.join(t.save_dir, 'history.json'), 'w') as f:
         json.dump(trainer.history, f, indent=2)
+    # artifact logging at run end (road_project/train.py:211-212 pushed the
+    # trained model + metrics into MLflow); no-op when mlflow is absent
+    for artifact in ('history.json', 'metrics.csv', 'config.json'):
+        path = os.path.join(t.save_dir, artifact)
+        if os.path.exists(path):
+            trainer.mlflow.log_artifact(path)
+    trainer.metrics_logger.close()
     return trainer

@@ -70,6 +70,45 @@ def test_freeze_mask_depths():
     assert module_frozen('mobilenet', 'pw13', 'C5')
 
 
+@pytest.mark.parametrize('name', ['efficientnetb2', 'efficientnetb3',
+                                  'efficientnetb4'])
+def test_efficientnet_endpoint_channels(name):
+    """Endpoint widths must equal the reference efficientnet package's
+    block{2,3,4,6}a_expand_activation / top_activation channel counts
+    (engine/backbone/base.py:168-181, 259-279)."""
+    from masklab_tpu.nn.backbone import efficientnet as eff
+    from masklab_tpu.nn.backbone.efficientnet import ENDPOINT_CHANNELS
+    body = getattr(eff, name.replace('efficientnetb', 'efficientnet_b'))()
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    # shape-only: no compile/compute needed to check channel widths
+    variables = jax.eval_shape(body.init, jax.random.PRNGKey(0), x)
+    endpoints = jax.eval_shape(lambda v, x: body.apply(v, x), variables, x)
+    for ep, ch in ENDPOINT_CHANNELS[name].items():
+        assert endpoints[ep].shape[-1] == ch, (name, ep)
+
+
+def test_efficientnet_drop_connect():
+    """Drop-connect is active in train mode with a 'dropout' rng (zeroes
+    whole residual branches per sample) and inactive without one."""
+    from masklab_tpu.nn.backbone.efficientnet import EfficientNet
+    body = EfficientNet(width=1.0, depth=1.0, drop_connect_rate=0.9)
+    x = jnp.ones((4, 64, 64, 3), jnp.float32)
+    variables = jax.jit(body.init)(jax.random.PRNGKey(0), x)
+
+    apply_det = jax.jit(lambda v, x: body.apply(
+        v, x, train=True, mutable=['batch_stats'])[0]['C5'])
+    apply_rng = jax.jit(lambda v, x, r: body.apply(
+        v, x, train=True, mutable=['batch_stats'],
+        rngs={'dropout': r})[0]['C5'])
+    det = apply_det(variables, x)
+    r1 = apply_rng(variables, x, jax.random.PRNGKey(1))
+    r2 = apply_rng(variables, x, jax.random.PRNGKey(2))
+    # no rng -> deterministic (identical to itself); with rng -> stochastic
+    np.testing.assert_allclose(np.asarray(det),
+                               np.asarray(apply_det(variables, x)))
+    assert not np.allclose(np.asarray(r1), np.asarray(r2))
+
+
 def test_batchnorm_collections_exist():
     model, variables, _ = _build('mobilenet', hw=(128, 128))
     assert 'batch_stats' in variables

@@ -41,6 +41,16 @@ def test_preset_with_overrides():
     assert cfg.detection.pr_ratios == (0.5, 1, 2, 5, 8)
 
 
+def test_preset_reassert_default():
+    # a flag whose value EQUALS the library default must still override a
+    # preset value (VERDICT r1 weak #8)
+    cfg = _load_config(['--preset=road',
+                        '-detection.use_squeeze_excite', 'False'])
+    assert cfg.detection.use_squeeze_excite is False
+    # unrelated preset values are untouched
+    assert cfg.backbone.backbone_type == 'seresnet34'
+
+
 def test_main_rejects_unknown_command():
     with pytest.raises(SystemExit):
         main(['frobnicate'])

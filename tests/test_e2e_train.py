@@ -58,6 +58,17 @@ def test_full_training_run(data_dir, tmp_path):
     best = trainer.ckpt.best_checkpoint()
     assert best is not None
 
+    # metrics.csv: per-epoch rows are step MEANS with a full-validation
+    # val_loss column (engine/train.py:106-153 validates the whole valid
+    # iterator each epoch)
+    import csv
+    with open(os.path.join(cfg.train.save_dir, 'metrics.csv')) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2  # head epoch + all epoch
+    assert 'val_loss' in rows[0] and 'val_seg_loss' in rows[0]
+    assert all(np.isfinite(float(r['val_loss'])) for r in rows)
+    assert all(np.isfinite(float(r['train_loss'])) for r in rows)
+
     # reload into the predictor and run the eval harness
     import jax
     from masklab_tpu.data import MaskLabDataset
