@@ -216,8 +216,10 @@ class ComputeConfig:
     # skipping.
     mask_compaction: bool = True
     # static capacity buckets for mask_compaction, as fractions of the box
-    # count (K is always appended so nothing overflows).
-    mask_capacity_fractions: Tuple[float, ...] = (0.25, 0.5, 1.0)
+    # count (K is always appended so nothing overflows). Finer buckets fit
+    # the per-level counts tighter at the cost of more compiled branches.
+    mask_capacity_fractions: Tuple[float, ...] = (0.125, 0.25, 0.5, 0.75,
+                                                  1.0)
 
 
 _GROUP_TYPES = {
