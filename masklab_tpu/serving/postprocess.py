@@ -79,6 +79,28 @@ def _paste_weights(lo: jnp.ndarray, hi: jnp.ndarray, size: int,
     return wgt * inside[..., None]
 
 
+def _paste_edges(det_boxes: jnp.ndarray, image_hw: Tuple[int, int],
+                 conf_threshold: float):
+    """Shared box->(y1,y2,x1,x2) clipping + adaptive keep flag.
+
+    Mirrors CropAndPadMask (misc.py:366-374): boxes floored at 1, and if
+    the best confidence in the batch is above ``conf_threshold`` only
+    boxes >= it are kept, else everything is.
+    """
+    h, w = image_hw
+    boxes = jnp.maximum(det_boxes.astype(jnp.float32), 1.0)  # misc.py:374
+    best = jnp.max(det_boxes[..., -1].astype(jnp.float32))
+    thr = jnp.where(best > conf_threshold, conf_threshold, -100.0)
+    keep = det_boxes[..., -1].astype(jnp.float32) >= thr     # [B, K]
+    cx, cy, bw, bh = (boxes[..., 0], boxes[..., 1],
+                      boxes[..., 2], boxes[..., 3])
+    x1 = jnp.clip(cx - bw / 2, 0, w)
+    x2 = jnp.clip(cx + bw / 2, 0, w)
+    y1 = jnp.clip(cy - bh / 2, 0, h)
+    y2 = jnp.clip(cy + bh / 2, 0, h)
+    return y1, y2, x1, x2, keep.astype(jnp.float32)
+
+
 def crop_and_pad_masks(det_boxes: jnp.ndarray, roi_masks: jnp.ndarray,
                        image_hw: Tuple[int, int],
                        conf_threshold: float = 50.0) -> jnp.ndarray:
@@ -90,23 +112,80 @@ def crop_and_pad_masks(det_boxes: jnp.ndarray, roi_masks: jnp.ndarray,
     """
     h, w = image_hw
     mh, mw = roi_masks.shape[-2], roi_masks.shape[-1]
-    boxes = jnp.maximum(det_boxes.astype(jnp.float32), 1.0)  # misc.py:374
-    best = jnp.max(det_boxes[..., -1].astype(jnp.float32))
-    thr = jnp.where(best > conf_threshold, conf_threshold, -100.0)
-    keep = det_boxes[..., -1].astype(jnp.float32) >= thr     # [B, K]
+    y1, y2, x1, x2, keep = _paste_edges(det_boxes, image_hw, conf_threshold)
 
-    def per_image(bxs, msks, kp):
-        cx, cy, bw, bh = bxs[:, 0], bxs[:, 1], bxs[:, 2], bxs[:, 3]
-        x1 = jnp.clip(cx - bw / 2, 0, w)
-        x2 = jnp.clip(cx + bw / 2, 0, w)
-        y1 = jnp.clip(cy - bh / 2, 0, h)
-        y2 = jnp.clip(cy + bh / 2, 0, h)
-        wy = _paste_weights(y1, y2, h, mh)                   # [K, H, mh]
-        wx = _paste_weights(x1, x2, w, mw)                   # [K, W, mw]
+    def per_image(y1_, y2_, x1_, x2_, msks, kp):
+        wy = _paste_weights(y1_, y2_, h, mh)                 # [K, H, mh]
+        wx = _paste_weights(x1_, x2_, w, mw)                 # [K, W, mw]
         m = msks.astype(jnp.float32)
         rows = jnp.einsum('kym,kmn->kyn', wy, m)             # [K, H, mw]
         full = jnp.einsum('kxn,kyn->kyx', wx, rows)          # [K, H, W]
         return full * kp[:, None, None]
 
-    return jax.vmap(per_image)(boxes, roi_masks.astype(jnp.float32),
-                               keep.astype(jnp.float32))
+    return jax.vmap(per_image)(y1, y2, x1, x2,
+                               roi_masks.astype(jnp.float32), keep)
+
+
+def paste_stats_and_union(det_boxes: jnp.ndarray, roi_masks: jnp.ndarray,
+                          image_hw: Tuple[int, int], unit: jnp.ndarray,
+                          my_road: jnp.ndarray, num_classes: int,
+                          conf_threshold: float = 50.0) -> Dict:
+    """Paste statistics + per-class union WITHOUT keeping [B,K,H,W] live.
+
+    The serving graph only consumes the pasted full-frame masks through
+    reductions: per-instance analytics (SummaryOutput, misc.py:546-718) and
+    the per-class union overlay (DrawInstance, misc.py:466-503). At 1080p
+    with K=100 the [B,K,H,W] intermediate is ~800 MB of HBM traffic per
+    consumer. Because the paste is separable (full = wy @ mask @ wx^T), the
+    *linear* statistics factorize into tiny [K, mh]/[K, mw] contractions
+    that never touch H x W, and the thresholded ones (union, my-road
+    overlap, vertical extent) are fused into one pass over the pasted
+    tensor.
+
+    Args:
+      det_boxes: [B, K, 6] upsampled rows (conf x100).
+      roi_masks: [B, K, mh, mw] RoI masks (0/1).
+      unit: [B, H] metres-per-pixel per row (from the my_road edge fit).
+      my_road: [B, H, W] bool.
+    Returns dict with pixel/size/horiz/vert/inter/area [B, K] and
+      union [B, H, W, C] float 0/1 — identical values to running
+      crop_and_pad_masks and reducing it.
+    """
+    h, w = image_hw
+    mh, mw = roi_masks.shape[-2], roi_masks.shape[-1]
+    y1, y2, x1, x2, keep = _paste_edges(det_boxes, image_hw, conf_threshold)
+    cls = det_boxes[..., 4].astype(jnp.int32)                # [B, K]
+    onehot = jax.nn.one_hot(cls, num_classes) * keep[..., None]
+
+    def per_image(y1_, y2_, x1_, x2_, msks, kp, u, road, oh):
+        wy = _paste_weights(y1_, y2_, h, mh)                 # [K, H, mh]
+        wx = _paste_weights(x1_, x2_, w, mw)                 # [K, W, mw]
+        m = msks.astype(jnp.float32)                         # [K, mh, mw]
+        u_sq = u * u
+        # linear stats: factor through the tiny mask axes
+        sy = jnp.sum(wy, axis=1)                             # [K, mh]
+        sx = jnp.sum(wx, axis=1)                             # [K, mw]
+        u1y = jnp.einsum('y,kym->km', u, wy)                 # [K, mh]
+        u2y = jnp.einsum('y,kym->km', u_sq, wy)              # [K, mh]
+        msx = jnp.einsum('kmn,kn->km', m, sx)                # [K, mh]
+        pixel = kp * jnp.einsum('km,km->k', sy, msx)
+        size = kp * jnp.einsum('km,km->k', u2y, msx)
+        rowvec = jnp.einsum('km,kmn->kn', u1y, m)            # [K, mw]
+        colw = jnp.einsum('kxn,kn->kx', wx, rowvec)          # [K, W]
+        horiz = kp * jnp.max(colw, axis=-1)
+        # thresholded stats: one pass over the pasted tensor
+        rows = jnp.einsum('kym,kmn->kyn', wy, m)             # [K, H, mw]
+        full = jnp.einsum('kxn,kyn->kyx', wx, rows)          # [K, H, W]
+        th = (full * kp[:, None, None]) > 0.5                # [K, H, W]
+        vert = jnp.sum(u[None, :] * jnp.any(th, axis=-1), axis=-1)
+        inter = jnp.sum((road[None] & th).astype(jnp.float32), axis=(1, 2))
+        area = jnp.sum(th.astype(jnp.float32), axis=(1, 2))
+        union = jnp.einsum('khw,kc->hwc', th.astype(jnp.float32), oh)
+        return pixel, size, horiz, vert, inter, area, (union > 0.5)
+
+    pixel, size, horiz, vert, inter, area, union = jax.vmap(per_image)(
+        y1, y2, x1, x2, roi_masks.astype(jnp.float32), keep, unit,
+        my_road, onehot)
+    return dict(pixel=pixel, size=size, horiz=horiz, vert=vert,
+                inter=inter, area=area,
+                union=union.astype(jnp.float32))

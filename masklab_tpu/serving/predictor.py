@@ -29,7 +29,7 @@ from ..models.instance import trim_instances
 from ..models.masklab import MaskLab
 from ..ops.resize import resize_bilinear, resize_like
 from .postprocess import crop_and_pad_masks, smooth_semantics, upsample_output
-from .summary import summary_output
+from .summary import fused_summary_union, summary_output
 from .visualize import draw_boxes, draw_instance, draw_segmentation
 
 
@@ -70,20 +70,24 @@ class MaskLabPredictor:
             sem = resize_like(sem, down)
             boxes_up, masks_up, sem_up = upsample_output(
                 det_boxes, inst_masks, sem, ds_hw, in_hw)
-            padded = crop_and_pad_masks(boxes_up, masks_up, in_hw)
             if self.visualization:
                 # serving payload: annotated image + analytics only — the
                 # big mask tensors stay on device (host transfer through
-                # the accelerator link dominates serving latency otherwise)
+                # the accelerator link dominates serving latency otherwise).
+                # The analytics + class-union overlay come from the fused
+                # paste reducer: the [B, K, H, W] pasted tensor is never
+                # materialized for multiple consumers.
+                summary, union = fused_summary_union(
+                    boxes_up, sem_up, masks_up, in_hw,
+                    len(post.instance_colors), post.default_road_size)
                 vis = draw_boxes(images, boxes_up)
-                vis = draw_instance(vis, boxes_up, padded,
-                                    post.instance_colors, post.instance_alpha)
+                vis = draw_segmentation(vis, union, post.instance_colors,
+                                        post.instance_alpha)
                 vis = draw_segmentation(vis, sem_up, post.semantic_colors,
                                         post.semantic_alpha)
                 return dict(det_boxes=boxes_up, visualize=vis,
-                            summarize=summary_output(
-                                boxes_up, sem_up, padded,
-                                post.default_road_size))
+                            summarize=summary)
+            padded = crop_and_pad_masks(boxes_up, masks_up, in_hw)
             return dict(det_boxes=boxes_up, instance_masks=masks_up,
                         semantic=sem_up.astype(jnp.uint8),
                         padded_masks=(padded > 0.5).astype(jnp.uint8))

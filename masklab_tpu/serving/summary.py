@@ -124,6 +124,59 @@ def calculate_instance_size(seg: jnp.ndarray, padded_masks: jnp.ndarray,
     return jnp.stack([instance_size, horizontal, vertical], axis=-1)
 
 
+def fused_summary_union(det_boxes: jnp.ndarray, seg: jnp.ndarray,
+                        roi_masks: jnp.ndarray,
+                        image_hw: Tuple[int, int], num_classes: int,
+                        default_road_size: float = 3.25,
+                        conf_threshold: float = 50.0):
+    """Analytics table + instance-class union, fused over the mask paste.
+
+    Produces exactly ``summary_output(det, seg, crop_and_pad_masks(...))``
+    and the class-union canvas that ``draw_instance`` derives, but via
+    ``paste_stats_and_union`` so the [B, K, H, W] pasted tensor is reduced
+    in one pass instead of being materialized for every consumer (the
+    reference materializes CropAndPadMask's output and feeds it to both
+    DrawInstance and SummaryOutput: misc.py:354-401, 466-503, 546-591).
+
+    Args:
+      det_boxes: [B, K, 6] upsampled detection rows.
+      seg: [B, H, W, C_seg] binarized semantics (my_road at 1, crack at 2).
+      roi_masks: [B, K, mh, mw] binarized RoI masks.
+    Returns:
+      (summary [B, K+1, 11], union [B, H, W, num_classes] float 0/1).
+    """
+    from .postprocess import paste_stats_and_union
+
+    my_road_f = seg[..., 1].astype(jnp.float32)
+    unit = jax.vmap(lambda m: _road_width_per_row(
+        m, default_road_size))(my_road_f)                    # [B, H]
+    stats = paste_stats_and_union(
+        det_boxes, roi_masks, image_hw, unit, my_road_f > 0.5,
+        num_classes, conf_threshold)
+
+    inst = det_boxes.astype(jnp.float32)
+    inc = (stats['inter'] / (stats['area'] + EPS) > 0.1).astype(jnp.float32)
+    inst_rows = jnp.stack([
+        inst[..., 4], inst[..., 0], inst[..., 1], inst[..., 2],
+        inst[..., 3], inst[..., 5], stats['pixel'], stats['size'],
+        stats['horiz'], stats['vert'], inc], axis=-1)        # [B, K, 11]
+
+    # synthetic crack row: one [B, 1, H, W] mask — cheap, reuse the
+    # unfused reducers
+    crack_det, crack_mask = crack_to_instance(seg[..., 2])
+    crack_sizes = calculate_instance_size(seg, crack_mask, default_road_size)
+    crack_inc = include_my_road(seg, crack_mask)
+    crack_pixel = jnp.sum(crack_mask, axis=(2, 3))
+    cd = crack_det
+    crack_rows = jnp.stack([
+        cd[..., 4], cd[..., 0], cd[..., 1], cd[..., 2], cd[..., 3],
+        cd[..., 5], crack_pixel, crack_sizes[..., 0], crack_sizes[..., 1],
+        crack_sizes[..., 2], crack_inc], axis=-1)            # [B, 1, 11]
+
+    return (jnp.concatenate([inst_rows, crack_rows], axis=1),
+            stats['union'])
+
+
 def summary_output(det_boxes: jnp.ndarray, seg: jnp.ndarray,
                    padded_masks: jnp.ndarray,
                    default_road_size: float = 3.25) -> jnp.ndarray:
