@@ -35,6 +35,128 @@ from .boxes import cxcywh_to_yxyx, iou_yxyx
 NEG = jnp.float32(-1.0)
 
 
+def candidate_pool(scores: jnp.ndarray, k: int, floor: float,
+                   pool_factor: int = 4):
+    """Top-k candidate pool without a full [.., N] sort.
+
+    Equivalent to ``jax.lax.top_k(masked, k)`` *for NMS purposes*: the
+    returned pool contains every element with score >= floor that the true
+    top-k contains, in identical (score desc, index asc) order; slots
+    beyond the valid candidates carry score -1 / index 0 (dead downstream,
+    since NMS validity is ``score >= floor``).
+
+    ``lax.top_k`` lowers to a full stable variadic sort on TPU (~4.3 ms
+    for [48, 81840] on v5e — measured by trace; it was the single largest
+    op in the round-1 inference graph; ``lax.approx_max_k`` is fast but
+    drops top elements too often for an exactness certificate to pass in
+    dense regimes). Here the selection runs as:
+
+      1. scores are viewed as ~N/128 *stride-interleaved* segments of 128
+         and each segment's top-``cap`` elements are extracted with
+         ``cap`` rounds of (argmax, mask) — cheap vector reductions;
+      2. an exactness certificate: the k-th largest segment maximum is
+         the min of k distinct real elements, hence a valid lower bound
+         v_lb on the true k-th value. An element >= max(v_lb, floor) can
+         only be missing from the extraction if its segment's LAST
+         extract also cleared the bound — checked in one reduction;
+      3. the ~N/8 candidates are sorted lexicographically by
+         (-value, index) — identical tie-breaking to lax.top_k — and
+         sliced to k;
+      4. if the certificate fails (>cap elements above the bound landed
+         in one strided segment — rare by construction), ``lax.cond``
+         falls back to the exact full top_k, so the result is exact in
+         every regime.
+
+    Args:
+      scores: [..., N], invalid entries pre-masked to a value < floor.
+      k: pool size.
+      floor: validity threshold (NMS min_confidence).
+    Returns:
+      (values [..., k], indices [..., k]).
+    """
+    *batch, n = scores.shape
+    if n <= 8 * k:
+        return tuple(jax.lax.top_k(scores, k))
+    if jax.process_count() > 1:
+        # multi-process (multi-host) programs keep the plain sort-based
+        # top_k: the certificate's global any-reduce + lax.cond deadlocks
+        # GSPMD partitioning over the gloo CPU backend (observed: Gloo
+        # context init DEADLINE_EXCEEDED in the 2-process train test),
+        # and a data-dependent branch whose two sides the partitioner may
+        # treat differently is not worth the risk across DCN. Single-
+        # process programs — the bench, serving, and single-chip training
+        # paths — take the fast pool below.
+        return tuple(jax.lax.top_k(scores, k))
+    cap = 16
+    m = 128
+    s = -(-n // m)                       # segments (stride-interleaved)
+    pad = s * m - n
+    # strided segmentation: segment j holds elements {j, j+s, j+2s, ...},
+    # so runs of confident anchors around one object (contiguous in the
+    # [position, anchor] layout) spread across segments instead of
+    # overflowing one segment's capacity
+    x = jnp.concatenate(
+        [scores, jnp.full((*batch, pad), -jnp.inf, scores.dtype)], axis=-1)
+    x3 = x.reshape(-1, m, s)             # row-major: column j is strided
+
+    on_tpu = jax.devices()[0].platform == 'tpu'
+    if on_tpu:
+        from .pallas.topk_kernel import segment_topk_pallas
+        vals3, idxs3 = segment_topk_pallas(x3, cap)    # [R, cap, s]
+    else:
+        # XLA fallback (CPU tests): cap rounds of (max, argmax, mask)
+        work = jnp.swapaxes(x3, -1, -2)                # [R, s, m]
+        base_idx = (jnp.arange(s, dtype=jnp.int32)[:, None]
+                    + jnp.arange(m, dtype=jnp.int32)[None, :] * s)
+        iota_m = jnp.arange(m, dtype=jnp.int32)
+        vs, ids = [], []
+        for _ in range(cap):
+            am = jnp.argmax(work, axis=-1)             # [R, s]
+            vs.append(jnp.max(work, axis=-1))
+            ids.append(jnp.take_along_axis(
+                jnp.broadcast_to(base_idx, work.shape),
+                am[..., None].astype(jnp.int32), axis=-1)[..., 0])
+            work = jnp.where(iota_m == am[..., None], -jnp.inf, work)
+        vals3 = jnp.stack(vs, axis=-2)                 # [R, cap, s]
+        idxs3 = jnp.stack(ids, axis=-2)
+    cand_v = vals3.reshape(*batch, cap * s)
+    cand_i = idxs3.reshape(*batch, cap * s)
+
+    # lexicographic (value desc, index asc) candidate order — identical
+    # tie-breaking to lax.top_k
+    neg, sidx = jax.lax.sort(
+        (-cand_v, cand_i), dimension=-1, num_keys=2, is_stable=False)
+    top_v = -neg[..., :k]
+    top_i = sidx[..., :k]
+
+    # tie-robust exactness certificate on composite (value, index) keys:
+    # an element can only be missing from the extraction if its segment
+    # truncated it, i.e. the segment's LAST extract has a strictly larger
+    # key (keys are unique, so no mass ties at a value threshold — scores
+    # quantized through bf16 carry thousands of exact ties). If no
+    # truncating segment's last key exceeds the pool's k-th key, every
+    # missing element ranks below the pool's k-th, which lower-bounds the
+    # true k-th — so the pool provably contains the whole top-k. Segments
+    # whose last extract is below `floor` never truncated a valid element.
+    lv = vals3[..., cap - 1, :].reshape(*batch, s)
+    li = idxs3[..., cap - 1, :].reshape(*batch, s)
+    kv = top_v[..., k - 1:k]                                # [.., 1]
+    ki = top_i[..., k - 1:k]
+    truncating = (lv >= jnp.float32(floor)) & (
+        (lv > kv) | ((lv == kv) & (li < ki)))
+    certified = ~jnp.any(truncating)
+
+    def fast(args):
+        top_v, top_i = args
+        dead = top_v < floor
+        return (jnp.where(dead, NEG, top_v), jnp.where(dead, 0, top_i))
+
+    def exact(_):
+        return tuple(jax.lax.top_k(scores, k))
+
+    return jax.lax.cond(certified, fast, exact, (top_v, top_i))
+
+
 def nms_keep_mask_sequential(boxes_yxyx: jnp.ndarray, valid: jnp.ndarray,
                              iou_threshold: float,
                              max_outputs: int) -> jnp.ndarray:
@@ -111,77 +233,111 @@ def nms_keep_mask(boxes_yxyx: jnp.ndarray, valid: jnp.ndarray,
     return kept & (rank <= max_outputs)
 
 
-@partial(jax.jit, static_argnames=(
-    'min_confidence', 'nms_iou_threshold', 'post_iou_threshold',
-    'max_outputs', 'candidates_per_class'))
-def class_aware_nms(cls_pred: jnp.ndarray, boxes: jnp.ndarray,
-                    min_confidence: float = 0.05,
-                    nms_iou_threshold: float = 0.4,
-                    post_iou_threshold: float = 0.65,
-                    max_outputs: int = 100,
-                    candidates_per_class: int = 256) -> jnp.ndarray:
-    """Single-image class-aware two-stage NMS.
-
-    Args:
-      cls_pred: [N, C] per-anchor per-class sigmoid confidences.
-      boxes: [N, 4] decoded (cx, cy, w, h) boxes (one set for all classes).
-    Returns:
-      [max_outputs, 6] rows (cx, cy, w, h, class, conf), -1-padded.
-    """
-    n, num_classes = cls_pred.shape
+def _nms_impl(cls_pred: jnp.ndarray, boxes: jnp.ndarray,
+              min_confidence: float,
+              nms_iou_threshold: float,
+              post_iou_threshold: float,
+              max_outputs: int,
+              candidates_per_class: int) -> jnp.ndarray:
+    b, n, num_classes = cls_pred.shape
     kc = min(candidates_per_class, n)
     boxes = boxes.astype(jnp.float32)
     cls_pred = cls_pred.astype(jnp.float32)
     boxes_yxyx = cxcywh_to_yxyx(boxes)                         # pixel coords
 
-    def per_class(scores_c):
-        valid = scores_c >= min_confidence
-        masked = jnp.where(valid, scores_c, -1.0)
-        top_scores, top_idx = jax.lax.top_k(masked, kc)        # sorted desc
-        top_boxes = boxes_yxyx[top_idx]
-        top_valid = top_scores >= min_confidence
-        kept = nms_keep_mask(top_boxes, top_valid,
-                             nms_iou_threshold, max_outputs)
-        return top_idx, jnp.where(kept, top_scores, -1.0)
-
-    # [C, Kc] survivors of stage-1 per-class NMS
-    cand_idx, cand_scores = jax.vmap(per_class)(cls_pred.T)
-    class_ids = jnp.broadcast_to(jnp.arange(num_classes)[:, None],
-                                 cand_idx.shape)
-
-    flat_scores = cand_scores.reshape(-1)
-    flat_idx = cand_idx.reshape(-1)
-    flat_class = class_ids.reshape(-1)
+    # stage 1: per-class static candidate pools — sort-free selection
+    # (lax.top_k's full sort was the largest op in the inference graph)
+    scores_t = jnp.swapaxes(cls_pred, 1, 2)                    # [B, C, N]
+    masked = jnp.where(scores_t >= min_confidence, scores_t, -1.0)
+    top_scores, top_idx = candidate_pool(masked, kc,
+                                         floor=min_confidence)  # [B, C, kc]
+    top_boxes = jax.vmap(
+        lambda bb, ii: bb[ii.reshape(-1)].reshape(num_classes, kc, 4))(
+            boxes_yxyx, top_idx)
+    top_valid = top_scores >= min_confidence
+    kept = jax.vmap(nms_keep_mask, in_axes=(0, 0, None, None))(
+        top_boxes.reshape(b * num_classes, kc, 4),
+        top_valid.reshape(b * num_classes, kc),
+        nms_iou_threshold, max_outputs).reshape(b, num_classes, kc)
+    cand_scores = jnp.where(kept, top_scores, -1.0)            # [B, C, kc]
 
     # stage 2: cross-class post-NMS over all survivors
-    k2 = min(flat_scores.shape[0], num_classes * max_outputs)
-    s2_scores, order = jax.lax.top_k(flat_scores, k2)
-    s2_anchor = flat_idx[order]
-    s2_class = flat_class[order]
-    s2_boxes_yxyx = boxes_yxyx[s2_anchor]
+    class_ids = jnp.broadcast_to(
+        jnp.arange(num_classes)[None, :, None], (b, num_classes, kc))
+    flat_scores = cand_scores.reshape(b, -1)                   # [B, C*kc]
+    flat_idx = top_idx.reshape(b, -1)
+    flat_class = class_ids.reshape(b, -1)
+    k2 = min(num_classes * kc, num_classes * max_outputs)
+    s2_scores, order = jax.lax.top_k(flat_scores, k2)          # [B, k2]
+    s2_anchor = jnp.take_along_axis(flat_idx, order, axis=1)
+    s2_class = jnp.take_along_axis(flat_class, order, axis=1)
+    s2_boxes_yxyx = jax.vmap(lambda bb, ii: bb[ii])(boxes_yxyx, s2_anchor)
     s2_valid = s2_scores >= min_confidence
-    kept2 = nms_keep_mask(s2_boxes_yxyx, s2_valid,
-                          post_iou_threshold, max_outputs)
+    kept2 = jax.vmap(nms_keep_mask, in_axes=(0, 0, None, None))(
+        s2_boxes_yxyx, s2_valid, post_iou_threshold, max_outputs)
 
     # compact kept rows (already score-sorted) into the fixed output slots
     final_scores = jnp.where(kept2, s2_scores, -jnp.inf)
     out_scores, out_sel = jax.lax.top_k(final_scores, max_outputs)
     out_valid = jnp.isfinite(out_scores)
-    out_boxes = boxes[s2_anchor[out_sel]]
-    out_class = s2_class[out_sel].astype(jnp.float32)
+    out_anchor = jnp.take_along_axis(s2_anchor, out_sel, axis=1)
+    out_boxes = jax.vmap(lambda bb, ii: bb[ii])(boxes, out_anchor)
+    out_class = jnp.take_along_axis(s2_class, out_sel, axis=1).astype(
+        jnp.float32)
 
     pad = lambda v: jnp.where(out_valid, v, NEG)
     result = jnp.stack([
-        pad(out_boxes[:, 0]), pad(out_boxes[:, 1]),
-        pad(out_boxes[:, 2]), pad(out_boxes[:, 3]),
+        pad(out_boxes[..., 0]), pad(out_boxes[..., 1]),
+        pad(out_boxes[..., 2]), pad(out_boxes[..., 3]),
         pad(out_class), pad(jnp.where(out_valid, out_scores, NEG)),
     ], axis=-1)
     # stop_gradient mirrors the reference (detection.py:567)
     return jax.lax.stop_gradient(result)
 
 
+@partial(jax.jit, static_argnames=(
+    'min_confidence', 'nms_iou_threshold', 'post_iou_threshold',
+    'max_outputs', 'candidates_per_class'))
 def batched_class_aware_nms(cls_pred: jnp.ndarray, boxes: jnp.ndarray,
-                            **kwargs) -> jnp.ndarray:
-    """vmap of :func:`class_aware_nms` over the batch axis -> [B, K, 6]."""
-    return jax.vmap(lambda c, b: class_aware_nms(c, b, **kwargs))(
-        cls_pred, boxes)
+                            min_confidence: float = 0.05,
+                            nms_iou_threshold: float = 0.4,
+                            post_iou_threshold: float = 0.65,
+                            max_outputs: int = 100,
+                            candidates_per_class: int = 256) -> jnp.ndarray:
+    """Batched class-aware two-stage NMS.
+
+    Written natively batched rather than as a vmap of a per-image function
+    (only the greedy keep fixpoint is vmapped — a while-loop of [K, K]
+    matvecs that batches cleanly), with the per-class candidate pools from
+    the sort-free :func:`candidate_pool`.
+
+    Declared non-differentiable via ``custom_jvp`` (zero tangent): the
+    reference stop-gradients the proposals anyway (detection.py:567), and
+    the Pallas extraction kernel inside has no autodiff rule — without
+    this, the trainer's linearization would fail.
+
+    Args:
+      cls_pred: [B, N, C] per-anchor per-class sigmoid confidences.
+      boxes: [B, N, 4] decoded (cx, cy, w, h) boxes (one set per anchor).
+    Returns:
+      [B, max_outputs, 6] rows (cx, cy, w, h, class, conf), -1-padded.
+    """
+    impl = partial(_nms_impl, min_confidence=min_confidence,
+                   nms_iou_threshold=nms_iou_threshold,
+                   post_iou_threshold=post_iou_threshold,
+                   max_outputs=max_outputs,
+                   candidates_per_class=candidates_per_class)
+    nms = jax.custom_jvp(impl)
+
+    @nms.defjvp
+    def _zero_jvp(primals, tangents):
+        out = impl(*primals)
+        return out, jnp.zeros_like(out)
+
+    return nms(cls_pred, boxes)
+
+
+def class_aware_nms(cls_pred: jnp.ndarray, boxes: jnp.ndarray,
+                    **kwargs) -> jnp.ndarray:
+    """Single-image form: [N, C] x [N, 4] -> [max_outputs, 6]."""
+    return batched_class_aware_nms(cls_pred[None], boxes[None], **kwargs)[0]

@@ -206,3 +206,95 @@ def test_semantic_smoothing_is_min_then_max():
                            data_format='NHWC',
                            dilations=[1, 1, 1, 1]).numpy() * 2.0
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+class TestCandidatePool:
+    """candidate_pool == lax.top_k for NMS purposes: identical valid
+    (>= floor) prefix in identical order, across regimes."""
+
+    def _check(self, scores, k, floor):
+        import jax
+        from masklab_tpu.ops.nms import candidate_pool
+        ref_v, ref_i = jax.lax.top_k(scores, k)
+        got_v, got_i = jax.jit(
+            lambda s: candidate_pool(s, k, floor=floor))(scores)
+        ref_valid = np.asarray(ref_v) >= floor
+        got_valid = np.asarray(got_v) >= floor
+        np.testing.assert_array_equal(ref_valid, got_valid)
+        np.testing.assert_array_equal(np.asarray(got_v)[got_valid],
+                                      np.asarray(ref_v)[ref_valid])
+        np.testing.assert_array_equal(np.asarray(got_i)[got_valid],
+                                      np.asarray(ref_i)[ref_valid])
+
+    def test_dense_regime(self):
+        rng = np.random.RandomState(0)
+        scores = jnp.asarray(rng.rand(4, 3, 20000), jnp.float32)
+        masked = jnp.where(scores >= 0.5, scores, -1.0)
+        self._check(masked, 64, 0.5)
+
+    def test_sparse_regime(self):
+        rng = np.random.RandomState(1)
+        scores = jnp.asarray(rng.rand(4, 3, 20000) * 0.2, jnp.float32)
+        masked = jnp.where(scores >= 0.5, scores, -1.0)
+        self._check(masked, 64, 0.5)
+
+    def test_boundary_few_valid(self):
+        rng = np.random.RandomState(2)
+        base = rng.rand(2, 2, 20000) * 0.4
+        # exactly 50 confident anchors per row
+        for b in range(2):
+            for c in range(2):
+                sel = rng.choice(20000, 50, replace=False)
+                base[b, c, sel] = 0.5 + rng.rand(50) * 0.5
+        scores = jnp.asarray(base, jnp.float32)
+        masked = jnp.where(scores >= 0.5, scores, -1.0)
+        self._check(masked, 64, 0.5)
+
+    def test_ties(self):
+        rng = np.random.RandomState(3)
+        base = rng.choice([0.6, 0.7, 0.8, 0.9], size=(2, 2, 20000))
+        scores = jnp.asarray(base, jnp.float32)
+        self._check(scores, 64, 0.5)
+
+    def test_overflow_fallback(self):
+        # everything identical and above floor -> pool overflows -> must
+        # still match top_k exactly via the in-graph fallback
+        scores = jnp.full((2, 2, 20000), 0.9, jnp.float32)
+        self._check(scores, 64, 0.5)
+
+    def test_clustered_confidents(self):
+        # contiguous runs of confident anchors (object peaks) must not
+        # overflow the strided segments
+        rng = np.random.RandomState(4)
+        base = rng.rand(2, 2, 20000) * 0.3
+        for b in range(2):
+            for c in range(2):
+                for start in rng.choice(19000, 5, replace=False):
+                    base[b, c, start:start + 60] = 0.5 + rng.rand(60) * 0.5
+        scores = jnp.asarray(base, jnp.float32)
+        masked = jnp.where(scores >= 0.5, scores, -1.0)
+        self._check(masked, 64, 0.5)
+
+    def test_strided_segment_overflow_fallback(self):
+        # adversarial: >cap confident elements in ONE strided segment
+        # (indices j, j+s, j+2s, ...) must trigger the exact fallback
+        n, m = 20000, 128
+        s = -(-n // m)
+        base = np.zeros((1, 1, n), np.float32)
+        j = 3
+        for r in range(40):
+            if j + r * s < n:
+                base[0, 0, j + r * s] = 0.6 + 0.01 * r
+        scores = jnp.asarray(base, jnp.float32)
+        masked = jnp.where(scores >= 0.5, scores, -1.0)
+        self._check(masked, 16, 0.5)
+
+    def test_bf16_quantized_ties_dense(self):
+        # the forced-dense bench regime: every anchor confident, scores
+        # quantized through bf16 so thousands of exact ties exist — the
+        # tie-robust certificate must still pass (fast path) and match
+        rng = np.random.RandomState(5)
+        raw = 0.6 + rng.rand(2, 3, 30000) * 0.3
+        q = np.asarray(jnp.asarray(raw, jnp.bfloat16), np.float32)
+        scores = jnp.asarray(q)
+        self._check(scores, 256, 0.5)
