@@ -216,9 +216,13 @@ class MaskSubNet(nn.Module):
                     valid = (jnp.arange(c)[None, :]
                              < counts[:, None])               # [B, c]
                     y = y * valid[..., None, None, None]
-                    full = jnp.zeros(out_shape, jnp.float32)
-                    return jax.vmap(
-                        lambda f, i, v: f.at[i].add(v))(full, sel, y)
+                    # scatter the compacted results back to their original
+                    # slots as a one-hot permutation matmul — scatter-add
+                    # serializes on TPU, the einsum rides the MXU
+                    onehot = (sel[:, :, None]
+                              == jnp.arange(k)[None, None, :])  # [B, c, K]
+                    return jnp.einsum('bcj,bchwd->bjhwd',
+                                      onehot.astype(jnp.float32), y)
                 return branch
 
             total = total + nn.switch(
