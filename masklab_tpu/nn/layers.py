@@ -80,17 +80,27 @@ class GroupNorm(nn.Module):
             y = (y * table_s[None, :, None, :].astype(x.dtype)
                  + table_b[None, :, None, :].astype(x.dtype))
             return y.reshape(shape).astype(self.dtype)
-        # tiny/ragged maps: flat-band fallback (identical math)
+        # ragged maps (G does not divide H*W — e.g. the 14x14 mask-head
+        # crops): flat-band fallback, identical math. The affine is
+        # applied as a periodic [G, L] table along the flat band — the
+        # earlier [B, G, H, W, C/G] reshape put C/G=8 on the minor axis,
+        # which lane-pads 16x (a 20 MB mask-head temp cost 378 MB and
+        # OOMed the training step across capacity buckets). A fancier
+        # zero-relayout variant (band stats as [B, HWC] x [HWC, G]
+        # matmuls against a constant band one-hot) measured 16% SLOWER
+        # end-to-end — the N=16 GEMMs are too skinny for the MXU.
         flat = x.reshape(shape[0], groups, -1)
         f32 = flat.astype(jnp.float32)
         m1 = jnp.mean(f32, axis=-1, keepdims=True)
         m2 = jnp.mean(jnp.square(f32), axis=-1, keepdims=True)
         inv = jax.lax.rsqrt(jnp.maximum(m2 - jnp.square(m1), 0.0) + 1e-5)
         g = (flat - m1.astype(x.dtype)) * inv.astype(x.dtype)
-        g = g.reshape((shape[0], groups) + shape[1:-1] + (cg,))
-        bshape = (1, groups) + (1,) * (len(shape) - 2) + (cg,)
-        g = (g * scale.reshape(bshape).astype(x.dtype)
-             + bias.reshape(bshape).astype(x.dtype))
+        length = flat.shape[-1]
+        # band position p maps to channel g*cg + (p % cg)
+        table_s = jnp.tile(scale.reshape(groups, cg), (1, length // cg))
+        table_b = jnp.tile(bias.reshape(groups, cg), (1, length // cg))
+        g = (g * table_s[None].astype(x.dtype)
+             + table_b[None].astype(x.dtype))
         return g.reshape(shape).astype(self.dtype)
 
 

@@ -36,7 +36,7 @@ NEG = jnp.float32(-1.0)
 
 
 def candidate_pool(scores: jnp.ndarray, k: int, floor: float,
-                   pool_factor: int = 4):
+                   pool_factor: int = 4, sort_below: int = 32768):
     """Top-k candidate pool without a full [.., N] sort.
 
     Equivalent to ``jax.lax.top_k(masked, k)`` *for NMS purposes*: the
@@ -75,7 +75,10 @@ def candidate_pool(scores: jnp.ndarray, k: int, floor: float,
       (values [..., k], indices [..., k]).
     """
     *batch, n = scores.shape
-    if n <= 8 * k:
+    # below ~32k anchors the full sort is already sub-millisecond and the
+    # extraction+certificate machinery costs more than it saves (train
+    # steps at 256 px have ~12k anchors; the 512 px bench has ~82k)
+    if n <= max(8 * k, sort_below):
         return tuple(jax.lax.top_k(scores, k))
     if jax.process_count() > 1:
         # multi-process (multi-host) programs keep the plain sort-based

@@ -217,7 +217,7 @@ class TestCandidatePool:
         from masklab_tpu.ops.nms import candidate_pool
         ref_v, ref_i = jax.lax.top_k(scores, k)
         got_v, got_i = jax.jit(
-            lambda s: candidate_pool(s, k, floor=floor))(scores)
+            lambda s: candidate_pool(s, k, floor=floor, sort_below=0))(scores)
         ref_valid = np.asarray(ref_v) >= floor
         got_valid = np.asarray(got_v) >= floor
         np.testing.assert_array_equal(ref_valid, got_valid)
@@ -298,3 +298,35 @@ class TestCandidatePool:
         q = np.asarray(jnp.asarray(raw, jnp.bfloat16), np.float32)
         scores = jnp.asarray(q)
         self._check(scores, 256, 0.5)
+
+    def test_fuzz_many_regimes(self):
+        # randomized sweep: mixtures of sparse/dense rows, tie-heavy
+        # quantization, clustered runs, varying k/floor — every draw must
+        # match lax.top_k's valid prefix exactly
+        rng = np.random.RandomState(42)
+        for trial in range(12):
+            n = int(rng.choice([9000, 20000, 33000]))
+            k = int(rng.choice([32, 64, 128]))
+            floor = float(rng.choice([0.3, 0.5, 0.7]))
+            kind = trial % 4
+            if kind == 0:      # iid dense
+                base = rng.rand(2, 2, n)
+            elif kind == 1:    # mostly sparse
+                base = rng.rand(2, 2, n) * floor * 0.9
+                idx = rng.choice(n, 30, replace=False)
+                base[..., idx] = floor + rng.rand(30) * (1 - floor)
+            elif kind == 2:    # tie-heavy (bf16 quantized)
+                raw = floor + rng.rand(2, 2, n) * (1 - floor)
+                base = np.asarray(jnp.asarray(raw, jnp.bfloat16),
+                                  np.float32)
+            else:              # clustered confident runs
+                base = rng.rand(2, 2, n) * floor * 0.8
+                for b in range(2):
+                    for c in range(2):
+                        for start in rng.choice(n - 200, 4, replace=False):
+                            run = rng.randint(20, 120)
+                            base[b, c, start:start + run] = (
+                                floor + rng.rand(run) * (1 - floor))
+            scores = jnp.asarray(base, jnp.float32)
+            masked = jnp.where(scores >= floor, scores, -1.0)
+            self._check(masked, k, floor)

@@ -66,6 +66,12 @@ def test_group_normalization(ref):
     cur.finish()
     got = GroupNorm(16).apply({'params': params}, jnp.asarray(x))
     assert_close(got, want)
+    # ragged spatial extent (G does not divide H*W — the mask-head 14x14
+    # crops) exercises the flat-band fallback + periodic affine table
+    xr = _x(2, 14, 14, 32)
+    want_r = layer(tf.constant(xr)).numpy()
+    got_r = GroupNorm(16).apply({'params': params}, jnp.asarray(xr))
+    assert_close(got_r, want_r)
 
 
 def test_squeeze_excite(ref):
