@@ -76,3 +76,43 @@ def test_keep_threshold_regimes(data):
     got, _ = fused_summary_union(low, seg, masks, (H, W), C)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-4, atol=1e-3)
+
+
+def test_fuzz_shapes_and_regimes():
+    """Randomized sweep over K / mask size / image size / confidence
+    regimes: the fused reducer must match the unfused pipeline on every
+    draw."""
+    rng = np.random.RandomState(11)
+    for trial in range(6):
+        k = int(rng.choice([4, 9, 17]))
+        mh = int(rng.choice([6, 8, 14]))
+        h = int(rng.choice([64, 96]))
+        w = int(rng.choice([80, 128]))
+        nc = int(rng.choice([3, 6]))
+        cx = rng.rand(2, k) * w
+        cy = rng.rand(2, k) * h
+        bw = rng.rand(2, k) * (w // 2) + 3
+        bh = rng.rand(2, k) * (h // 2) + 3
+        cls = rng.randint(-1, nc, (2, k)).astype(np.float32)
+        if trial % 2:
+            conf = rng.rand(2, k) * 100          # mixed above/below 50
+        else:
+            conf = rng.rand(2, k) * 45           # all below -> keep all
+        det = jnp.asarray(np.round(np.stack([cx, cy, bw, bh, cls, conf],
+                                            -1)), jnp.float32)
+        masks = jnp.asarray(rng.rand(2, k, mh, mh) > 0.5, jnp.int32)
+        seg = np.zeros((2, h, w, 3), np.int32)
+        seg[:, h // 3:, w // 4: 3 * w // 4, 1] = 1
+        seg[:, :h // 8, :w // 8, 2] = rng.rand(2, h // 8, w // 8) > 0.5
+        seg = jnp.asarray(seg)
+        padded = crop_and_pad_masks(det, masks, (h, w))
+        ref = summary_output(det, seg, padded)
+        got, union = fused_summary_union(det, seg, masks, (h, w), nc)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=5e-4, atol=1e-3,
+                                   err_msg=f'trial {trial}')
+        colors = [[20 * i, 10, 5] for i in range(nc)]
+        base = jnp.zeros((2, h, w, 3), jnp.float32)
+        ref_vis = draw_instance(base, det, padded, colors)
+        got_vis = draw_segmentation(base, union, colors)
+        assert np.asarray(got_vis == ref_vis).mean() > 0.9999, trial
