@@ -10,11 +10,14 @@ XLA re-design of the reference's ``DetectionProposal``
      fixed-slot candidate pool (the reference considered *all* anchors above
      ``min_confidence``; a static top-k pool is the XLA equivalent and is
      lossless whenever the pool is larger than the number of anchors above
-     threshold);
-  2. greedy NMS runs as a fixed-length ``lax.fori_loop`` over sorted
-     candidates with a suppression mask (identical keep semantics to
+     threshold). At large anchor counts the pool comes from the sort-free
+     :func:`candidate_pool` (Pallas segment extraction + exactness
+     certificate) instead of ``lax.top_k``'s full variadic sort;
+  2. greedy NMS runs as an MXU matvec *fixpoint* (:func:`nms_keep_mask`;
+     the K-step sequential loop is kept as :func:`nms_keep_mask_sequential`
+     for testing) with identical keep semantics to
      ``tf.image.non_max_suppression``: strict ``iou > threshold`` suppresses,
-     ties broken by lower index);
+     ties broken by lower index;
   3. survivors of all classes are merged, sorted by confidence, and a second
      greedy pass with ``post_iou_threshold`` yields the final fixed
      ``[max_outputs, 6]`` slots, padded with -1 like the reference's
@@ -54,18 +57,21 @@ def candidate_pool(scores: jnp.ndarray, k: int, floor: float,
       1. scores are viewed as ~N/128 *stride-interleaved* segments of 128
          and each segment's top-``cap`` elements are extracted with
          ``cap`` rounds of (argmax, mask) — cheap vector reductions;
-      2. an exactness certificate: the k-th largest segment maximum is
-         the min of k distinct real elements, hence a valid lower bound
-         v_lb on the true k-th value. An element >= max(v_lb, floor) can
-         only be missing from the extraction if its segment's LAST
-         extract also cleared the bound — checked in one reduction;
-      3. the ~N/8 candidates are sorted lexicographically by
+      2. the ~N/8 candidates are sorted lexicographically by
          (-value, index) — identical tie-breaking to lax.top_k — and
          sliced to k;
-      4. if the certificate fails (>cap elements above the bound landed
-         in one strided segment — rare by construction), ``lax.cond``
-         falls back to the exact full top_k, so the result is exact in
-         every regime.
+      3. a tie-robust exactness certificate on composite (value, index)
+         keys: an element can only be missing if its segment truncated
+         it, i.e. the segment's last extract has a strictly larger key.
+         If no truncating segment's last key exceeds the pool's k-th key
+         (which lower-bounds the true k-th), every missing element ranks
+         below the top-k. Composite keys are unique, so the thousands of
+         exact value ties bf16 scores carry cannot mass-fail the check
+         the way a value threshold does;
+      4. if the certificate fails (>cap elements ranking above the
+         pool's k-th landed in one strided segment — rare by
+         construction), ``lax.cond`` falls back to the exact full top_k,
+         so the result is exact in every regime.
 
     Args:
       scores: [..., N], invalid entries pre-masked to a value < floor.
