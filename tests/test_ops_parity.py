@@ -330,3 +330,20 @@ class TestCandidatePool:
             scores = jnp.asarray(base, jnp.float32)
             masked = jnp.where(scores >= floor, scores, -1.0)
             self._check(masked, k, floor)
+
+    def test_no_full_sort_in_compiled_nms_at_bench_scale(self):
+        # regression guard: at bench-scale anchor counts the compiled
+        # single-process NMS must select candidates via the sort-free
+        # pool — no O(N) variadic sort of the score tensor
+        import jax
+        from masklab_tpu.ops.nms import batched_class_aware_nms
+        n = 81840
+        scores = jnp.zeros((1, n, 2), jnp.float32)
+        boxes = jnp.zeros((1, n, 4), jnp.float32)
+        fn = jax.jit(lambda s, b: batched_class_aware_nms(
+            s, b, min_confidence=0.5, candidates_per_class=256))
+        txt = fn.lower(scores, boxes).as_text()
+        import re
+        big_sorts = [ln for ln in txt.splitlines()
+                     if re.search(r'sort.*\[[^]]*81[0-9]{3}', ln)]
+        assert not big_sorts, big_sorts[:2]
