@@ -161,6 +161,17 @@ def main(argv=None) -> None:
 
     initialize(args.coordinator, args.num_processes, args.process_id)
     assert jax.process_count() == args.num_processes
+    # establish the global collective communicator NOW, while the
+    # processes are in lockstep right after initialize: gloo context
+    # creation has a fixed 30 s key-value rendezvous deadline, and
+    # creating it lazily at the first collective of the big train step
+    # puts that deadline at the mercy of per-process trace/compile skew
+    # (minutes apart on a contended single-core host). The train step's
+    # collectives reuse the communicator built here.
+    import jax.numpy as jnp
+    warm = jax.pmap(lambda v: jax.lax.psum(v, 'i'), axis_name='i')(
+        jnp.ones((len(jax.local_devices()), 1)))
+    assert float(warm[0, 0]) == len(jax.devices())
     loss = run_one_step(args.shape)
     print(f'MULTIHOST_OK process={jax.process_index()}/'
           f'{jax.process_count()} devices={len(jax.devices())} '

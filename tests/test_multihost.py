@@ -22,7 +22,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_train_step():
+def _run_once():
     port = _free_port()
     env = dict(os.environ)
     # the workers configure their own platform/device-count flags
@@ -35,6 +35,20 @@ def test_two_process_train_step():
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         cwd=REPO, env=env) for pid in range(2)]
     outs = [p.communicate(timeout=900)[0] for p in procs]
+    return procs, outs
+
+
+def test_two_process_train_step():
+    procs, outs = _run_once()
+    if any(p.returncode != 0 for p in procs) and any(
+            'Gloo context initialization failed' in o
+            or 'DEADLINE_EXCEEDED' in o for o in outs):
+        # the gloo KV rendezvous has a fixed 30 s deadline; on this
+        # single-core host any concurrent load (the rest of the suite,
+        # a TPU compile dispatcher) can starve one process past it.
+        # That is an infra timeout, not a correctness failure — retry
+        # once before judging.
+        procs, outs = _run_once()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-4000:]
         assert 'MULTIHOST_OK' in out, out[-4000:]
