@@ -107,7 +107,10 @@ def main():
             saved.compute.compute_dtype = cfg.compute.compute_dtype
             cfg = saved
             model = build_masklab(cfg)
-        variables = ckpt.restore_variables()
+        # restored leaves are host numpy arrays — without an explicit
+        # device_put every timed call re-uploads the whole parameter tree
+        # through the (tunneled) host link
+        variables = jax.device_put(ckpt.restore_variables())
         dense_variables = variables
         regime = f'trained_checkpoint:{ckpt_dir}'
     else:
