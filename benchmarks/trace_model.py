@@ -19,11 +19,17 @@ def main():
     from masklab_tpu import ModelConfiguration
     from masklab_tpu.models import build_masklab
 
-    cfg = ModelConfiguration()
-    cfg.backbone.backbone_type = os.environ.get('BENCH_BACKBONE', 'mobilenet')
+    if os.environ.get('BENCH_PRESET') == 'road':
+        from masklab_tpu.presets import road_project_config
+        cfg = road_project_config()
+    else:
+        cfg = ModelConfiguration()
+        cfg.backbone.backbone_type = os.environ.get('BENCH_BACKBONE',
+                                                    'mobilenet')
     cfg.compute.compute_dtype = 'bfloat16'
     model = build_masklab(cfg)
-    batch, size = 8, 512
+    batch = int(os.environ.get('BENCH_BATCH', '8'))
+    size = int(os.environ.get('BENCH_SIZE', '512'))
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(batch, size, size, 3) * 255, jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), images[:1])

@@ -151,6 +151,10 @@ class TrainConfig:
     ``data`` mesh axis (see masklab_tpu/parallel).
     """
     save_dir: str = os.path.join(ROOT_DIR, 'logs/')
+    # base RNG seed for the run: dropout/drop-connect noise, generator
+    # shuffling, and worker-side epoch shuffles all derive from it
+    # (no reference counterpart — TF1 used graph-level nondeterminism)
+    seed: int = 42
     gpu_count: int = 2
     use_multiprocessing: bool = True
     # worker processes for batch building (fit_generator's worker pool,

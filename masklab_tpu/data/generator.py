@@ -136,7 +136,7 @@ class MultiprocessLoader:
     def __init__(self, dataset_config: Dict, num_workers: int = 4,
                  batch_size: int = 8, scale_ratio=(0.4, 0.6),
                  scale_buckets=(0.4, 0.45, 0.5, 0.55, 0.6),
-                 prefetch: int = 4):
+                 prefetch: int = 4, shuffle: bool = True, seed: int = 0):
         import multiprocessing as mp
         # spawn, not fork: the parent holds a live JAX runtime and forking
         # its threads can deadlock the child (JAX warns on os.fork); spawned
@@ -150,6 +150,9 @@ class MultiprocessLoader:
         self.num_batches = len(probe)
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self.shuffle = shuffle
+        self.seed = seed
+        self._epoch = 0
         self._pool = None
 
     def _ensure_pool(self):
@@ -164,7 +167,16 @@ class MultiprocessLoader:
 
     def __iter__(self):
         pool = self._ensure_pool()
-        for batch in pool.imap(_loader_get, range(self.num_batches),
+        # per-epoch reshuffle: every worker re-sorts its dataset copy from
+        # the canonical case order with the SAME epoch-derived seed, so
+        # batch `i` is identical regardless of which worker builds it —
+        # while batch order still varies epoch to epoch (the in-process
+        # generator reshuffles per epoch; workers must match)
+        epoch_seed = (self.seed + self._epoch) if self.shuffle else None
+        self._epoch += 1
+        for batch in pool.imap(_loader_get,
+                               [(epoch_seed, i)
+                                for i in range(self.num_batches)],
                                chunksize=1):
             yield batch
 
@@ -175,15 +187,34 @@ class MultiprocessLoader:
 
 
 _WORKER_GENERATOR = None
+_WORKER_CANONICAL = None
+_WORKER_EPOCH_SEED = -1
 
 
 def _loader_init(generator_args):
-    global _WORKER_GENERATOR
+    global _WORKER_GENERATOR, _WORKER_CANONICAL, _WORKER_EPOCH_SEED
     _WORKER_GENERATOR = MaskLabGenerator(**generator_args)
+    _WORKER_CANONICAL = np.array(_WORKER_GENERATOR.dataset.cases)
+    _WORKER_EPOCH_SEED = -1
 
 
-def _loader_get(index):
-    return _WORKER_GENERATOR[index]
+def _loader_get(args):
+    epoch_seed, index = args
+    global _WORKER_EPOCH_SEED
+    gen = _WORKER_GENERATOR
+    if epoch_seed != _WORKER_EPOCH_SEED:
+        # deterministic shuffle from the canonical order (NOT cumulative:
+        # workers may skip epochs, so each epoch's order must be a pure
+        # function of its seed)
+        gen.dataset.cases = _WORKER_CANONICAL.copy()
+        if epoch_seed is not None:
+            gen.dataset.shuffle(np.random.RandomState(epoch_seed))
+        _WORKER_EPOCH_SEED = epoch_seed
+    # scale bucket choice deterministic per (epoch, index) so the batch is
+    # reproducible no matter which worker serves it
+    gen.rng = np.random.RandomState(
+        ((epoch_seed or 0) * 100003 + index) % (2 ** 31))
+    return gen[index]
 
 
 class PrefetchIterator:

@@ -221,8 +221,12 @@ class MaskSubNet(nn.Module):
                     # serializes on TPU, the einsum rides the MXU
                     onehot = (sel[:, :, None]
                               == jnp.arange(k)[None, None, :])  # [B, c, K]
+                    # 0/1 permutation matmul — HIGHEST keeps the f32 dot
+                    # exact on TPU (default precision rounds operands
+                    # through bf16, perturbing the routed logits)
                     return jnp.einsum('bcj,bchwd->bjhwd',
-                                      onehot.astype(jnp.float32), y)
+                                      onehot.astype(jnp.float32), y,
+                                      precision=jax.lax.Precision.HIGHEST)
                 return branch
 
             total = total + nn.switch(

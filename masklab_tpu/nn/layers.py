@@ -74,11 +74,13 @@ class GroupNorm(nn.Module):
             m1 = jnp.mean(f32, axis=(2, 3), keepdims=True)
             m2 = jnp.mean(jnp.square(f32), axis=(2, 3), keepdims=True)
             inv = jax.lax.rsqrt(jnp.maximum(m2 - jnp.square(m1), 0.0) + 1e-5)
-            y = (g - m1.astype(x.dtype)) * inv.astype(x.dtype)
+            # normalize + affine in float32 (XLA fuses the whole chain into
+            # one elementwise loop, so bf16 inputs pay no extra HBM traffic
+            # — only the register math widens); cast once at the end
+            y = (f32 - m1) * inv
             table_s = jnp.tile(scale.reshape(groups, cg), (1, c // cg))
             table_b = jnp.tile(bias.reshape(groups, cg), (1, c // cg))
-            y = (y * table_s[None, :, None, :].astype(x.dtype)
-                 + table_b[None, :, None, :].astype(x.dtype))
+            y = y * table_s[None, :, None, :] + table_b[None, :, None, :]
             return y.reshape(shape).astype(self.dtype)
         # ragged maps (G does not divide H*W — e.g. the 14x14 mask-head
         # crops): flat-band fallback, identical math. The affine is
@@ -94,13 +96,12 @@ class GroupNorm(nn.Module):
         m1 = jnp.mean(f32, axis=-1, keepdims=True)
         m2 = jnp.mean(jnp.square(f32), axis=-1, keepdims=True)
         inv = jax.lax.rsqrt(jnp.maximum(m2 - jnp.square(m1), 0.0) + 1e-5)
-        g = (flat - m1.astype(x.dtype)) * inv.astype(x.dtype)
+        g = (f32 - m1) * inv
         length = flat.shape[-1]
         # band position p maps to channel g*cg + (p % cg)
         table_s = jnp.tile(scale.reshape(groups, cg), (1, length // cg))
         table_b = jnp.tile(bias.reshape(groups, cg), (1, length // cg))
-        g = (g * table_s[None].astype(x.dtype)
-             + table_b[None].astype(x.dtype))
+        g = g * table_s[None] + table_b[None]
         return g.reshape(shape).astype(self.dtype)
 
 

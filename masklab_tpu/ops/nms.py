@@ -28,6 +28,7 @@ confidence, matching the reference's final ordering.
 """
 from __future__ import annotations
 
+import contextlib
 from functools import partial
 
 import jax
@@ -37,9 +38,40 @@ from .boxes import cxcywh_to_yxyx, iou_yxyx
 
 NEG = jnp.float32(-1.0)
 
+# trace-time scope stack: (mesh, batch axis name) — see shard_local_nms
+_SHARD_SCOPE = []
+
+
+@contextlib.contextmanager
+def shard_local_nms(mesh, axis: str = 'data'):
+    """Make candidate_pool's exactness machinery shard-local under ``mesh``.
+
+    Multi-process GSPMD lowers the certificate's global any-reduce +
+    ``lax.cond`` into a cross-host collective feeding a replicated
+    predicate, which deadlocks over the gloo CPU backend (observed: Gloo
+    context init DEADLINE_EXCEEDED in the 2-process train test) — round 2
+    fell back to the full-sort ``lax.top_k`` whenever
+    ``jax.process_count() > 1``, silently re-paying the 4.33 ms sort the
+    pool exists to kill. Entering this scope while tracing instead wraps
+    the pool body in ``shard_map`` over the batch axis: every device
+    evaluates its OWN certificate and takes its own fast/exact branch with
+    zero collectives, so multi-host keeps the sort-free win. Results are
+    bitwise identical to the global form (the pool is per-row exact and
+    rows never cross shards).
+    """
+    _SHARD_SCOPE.append((mesh, axis))
+    try:
+        yield
+    finally:
+        _SHARD_SCOPE.pop()
+
+
+def _shard_scope():
+    return _SHARD_SCOPE[-1] if _SHARD_SCOPE else (None, None)
+
 
 def candidate_pool(scores: jnp.ndarray, k: int, floor: float,
-                   pool_factor: int = 4, sort_below: int = 32768):
+                   sort_below: int = 32768):
     """Top-k candidate pool without a full [.., N] sort.
 
     Equivalent to ``jax.lax.top_k(masked, k)`` *for NMS purposes*: the
@@ -80,22 +112,41 @@ def candidate_pool(scores: jnp.ndarray, k: int, floor: float,
     Returns:
       (values [..., k], indices [..., k]).
     """
-    *batch, n = scores.shape
+    n = scores.shape[-1]
     # below ~32k anchors the full sort is already sub-millisecond and the
     # extraction+certificate machinery costs more than it saves (train
     # steps at 256 px have ~12k anchors; the 512 px bench has ~82k)
     if n <= max(8 * k, sort_below):
         return tuple(jax.lax.top_k(scores, k))
     if jax.process_count() > 1:
-        # multi-process (multi-host) programs keep the plain sort-based
-        # top_k: the certificate's global any-reduce + lax.cond deadlocks
-        # GSPMD partitioning over the gloo CPU backend (observed: Gloo
-        # context init DEADLINE_EXCEEDED in the 2-process train test),
-        # and a data-dependent branch whose two sides the partitioner may
-        # treat differently is not worth the risk across DCN. Single-
-        # process programs — the bench, serving, and single-chip training
-        # paths — take the fast pool below.
-        return tuple(jax.lax.top_k(scores, k))
+        # multi-process programs must not evaluate the certificate's
+        # global any-reduce + lax.cond (deadlocks GSPMD over gloo — see
+        # shard_local_nms). Inside a shard_local_nms scope the pool body
+        # runs under shard_map with a per-device certificate and branch;
+        # outside one (no mesh knowledge at trace time) fall back to the
+        # plain sort-based top_k.
+        mesh, axis = _shard_scope()
+        parts = mesh.shape[axis] if mesh is not None else 0
+        if mesh is None or scores.ndim < 2 or scores.shape[0] % parts:
+            return tuple(jax.lax.top_k(scores, k))
+        return _pool_sharded(scores, k, floor, mesh, axis)
+    return _pool_body(scores, k=k, floor=floor)
+
+
+def _pool_sharded(scores: jnp.ndarray, k: int, floor: float, mesh, axis):
+    """The pool body under shard_map: per-device certificate + branch,
+    zero collectives (rows never cross shards, so results are identical
+    to the global form)."""
+    from jax.sharding import PartitionSpec as P
+    spec = P(axis, *([None] * (scores.ndim - 1)))
+    body = partial(_pool_body, k=k, floor=floor)
+    return jax.shard_map(body, mesh=mesh, in_specs=(spec,),
+                         out_specs=(spec, spec))(scores)
+
+
+def _pool_body(scores: jnp.ndarray, k: int, floor: float):
+    """The sort-free pool on (a shard of) ``scores`` — see candidate_pool."""
+    *batch, n = scores.shape
     cap = 16
     m = 128
     s = -(-n // m)                       # segments (stride-interleaved)

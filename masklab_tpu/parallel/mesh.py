@@ -45,7 +45,8 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
 
 
 def make_parallel_train_step(model, mesh: Mesh, with_metrics: bool = True,
-                             donate: bool = False) -> Callable:
+                             donate: bool = False,
+                             seed: int = 42) -> Callable:
     """Jit the train step with explicit state/batch shardings over the mesh.
 
     Parameters/optimizer state are replicated; each batch tensor is sharded
@@ -53,13 +54,15 @@ def make_parallel_train_step(model, mesh: Mesh, with_metrics: bool = True,
     reduction (replacing ParallelModel's implicit CPU merge with an ICI
     all-reduce).
     """
+    from ..ops.nms import shard_local_nms
     from ..train.steps import compute_losses
 
     repl = replicate_sharding(mesh)
     data = batch_sharding(mesh)
 
     def train_step(state, batch):
-        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(42), state.step)
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed),
+                                         state.step)
 
         def loss_fn(params):
             variables = {'params': params}
@@ -70,8 +73,12 @@ def make_parallel_train_step(model, mesh: Mesh, with_metrics: bool = True,
                                   with_metrics=with_metrics,
                                   dropout_rng=dropout_rng)
 
-        grads, (new_bs, new_box_state, metrics) = jax.grad(
-            loss_fn, has_aux=True)(state.params)
+        # trace-time scope: NMS candidate pools stay sort-free in
+        # multi-process programs by running their exactness certificate
+        # shard-locally under this mesh (see ops/nms.py shard_local_nms)
+        with shard_local_nms(mesh):
+            grads, (new_bs, new_box_state, metrics) = jax.grad(
+                loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads)
         new_state = new_state.replace(batch_stats=new_bs,
                                       box_loss_state=new_box_state)

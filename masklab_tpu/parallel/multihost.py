@@ -94,6 +94,63 @@ def _worker_config(shape: str):
     return cfg, (128, 128)
 
 
+def check_nms_pool() -> None:
+    """Prove the multi-process NMS candidate pool is sort-free AND exact.
+
+    Round 2 fell back to the full-sort ``lax.top_k`` whenever
+    ``jax.process_count() > 1``; the pool now runs under ``shard_local_nms``
+    (shard-local certificate + branch, zero collectives). This compiles
+    the pool at bench anchor count over the GLOBAL mesh, extends the
+    single-process sort-free regression guard
+    (tests/test_ops_parity.py:334) to the multi-process HLO, executes it
+    across processes, and checks the gathered result against a host-side
+    exact top-k reference.
+    """
+    import re
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from .mesh import make_mesh
+    from ..ops.nms import candidate_pool, shard_local_nms
+
+    n_local = len(jax.local_devices())
+    n_global = len(jax.devices())
+    mesh = make_mesh(data=n_global, model=1)
+    b, c, n = n_global, 6, 81840          # the 512 px bench anchor count
+    k, floor = 256, 0.05
+    rng = np.random.RandomState(7)
+    # two-decimal quantization manufactures thousands of exact score ties
+    # per row — the certificate must be tie-robust to stay on the fast path
+    full = rng.rand(b, c, n).astype(np.float32).round(2)
+    start = jax.process_index() * n_local
+    sharding = NamedSharding(mesh, P('data'))
+    garr = jax.make_array_from_process_local_data(
+        sharding, full[start:start + n_local])
+    fn = jax.jit(lambda s: candidate_pool(s, k, floor, sort_below=0),
+                 in_shardings=sharding, out_shardings=(sharding, sharding))
+    with shard_local_nms(mesh):
+        txt = fn.lower(garr).compile().as_text()
+        big = [ln for ln in txt.splitlines()
+               if re.search(r'sort.*\[[^]]*81[0-9]{3}', ln)]
+        assert not big, f'O(N) sort in multi-process NMS HLO: {big[:2]}'
+        vals, idxs = fn(garr)
+    vals = np.asarray(multihost_utils.process_allgather(
+        vals, tiled=True)).reshape(b * c, k)
+    idxs = np.asarray(multihost_utils.process_allgather(
+        idxs, tiled=True)).reshape(b * c, k)
+    # host-side exact reference: top-k by (value desc, index asc)
+    flat = full.reshape(b * c, n)
+    iota = np.broadcast_to(np.arange(n), flat.shape)
+    order = np.lexsort((iota, -flat), axis=-1)[:, :k]
+    ref_v = np.take_along_axis(flat, order, axis=-1)
+    assert ref_v.min() >= floor, 'fixture: top-k must clear the floor'
+    np.testing.assert_array_equal(vals, ref_v)
+    np.testing.assert_array_equal(idxs.astype(np.int64), order)
+    print(f'NMS_POOL_OK process={jax.process_index()} sort_free exact',
+          flush=True)
+
+
 def run_one_step(shape: str = 'small', batch_per_device: int = 1) -> float:
     """One data-parallel train step over the GLOBAL mesh; returns the loss.
 
@@ -172,6 +229,7 @@ def main(argv=None) -> None:
     warm = jax.pmap(lambda v: jax.lax.psum(v, 'i'), axis_name='i')(
         jnp.ones((len(jax.local_devices()), 1)))
     assert float(warm[0, 0]) == len(jax.devices())
+    check_nms_pool()
     loss = run_one_step(args.shape)
     print(f'MULTIHOST_OK process={jax.process_index()}/'
           f'{jax.process_count()} devices={len(jax.devices())} '

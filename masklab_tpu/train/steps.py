@@ -90,15 +90,18 @@ def compute_losses(model: MaskLab, variables: Dict, batch: Dict,
 
 
 def make_train_step(model: MaskLab, with_metrics: bool = True,
-                    donate: bool = False) -> Callable:
+                    donate: bool = False, seed: int = 42) -> Callable:
     """Build the jitted train step: state, batch -> (state, metrics).
 
     ``donate=True`` donates the input state's buffers (halves peak memory in
     the training loop) — callers must not reuse the old state afterwards.
+    ``seed`` is the run's base RNG seed (config.train.seed): dropout /
+    drop-connect noise is PRNGKey(seed) folded with the step counter.
     """
 
     def train_step(state, batch):
-        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(42), state.step)
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed),
+                                         state.step)
 
         def loss_fn(params):
             variables = {'params': params}

@@ -126,12 +126,14 @@ class MaskLabTrainer:
         tx = self._phase_tx(base_lr, max_lr, step_size, freeze_depth)
         self._rebuild_state_for_phase(tx)
         multi = self.mesh.devices.size > 1
+        seed = self.config.train.seed
         if multi:
-            step_fn = make_parallel_train_step(self.model, self.mesh, donate=True)
+            step_fn = make_parallel_train_step(self.model, self.mesh,
+                                               donate=True, seed=seed)
             self.state = jax.device_put(self.state,
                                         replicate_sharding(self.mesh))
         else:
-            step_fn = make_train_step(self.model, donate=True)
+            step_fn = make_train_step(self.model, donate=True, seed=seed)
         eval_fn = make_eval_step(self.model) if valid_generator else None
         steps = steps_per_epoch if steps_per_epoch is not None \
             else max(1, step_size // 2)
@@ -145,9 +147,20 @@ class MaskLabTrainer:
                 num_workers=t.data_workers,
                 batch_size=generator.batch_size,
                 scale_ratio=generator.scale_ratio,
-                scale_buckets=tuple(generator.scale_buckets))
+                scale_buckets=tuple(generator.scale_buckets),
+                shuffle=generator.shuffle, seed=seed)
         source = loader if loader is not None else generator
 
+        try:
+            self._run_epochs(name, source, valid_generator, epochs,
+                             schedule, step_fn, eval_fn, steps, multi)
+        finally:
+            # the spawned worker pool must not leak even if a step raises
+            if loader is not None:
+                loader.close()
+
+    def _run_epochs(self, name, source, valid_generator, epochs, schedule,
+                    step_fn, eval_fn, steps, multi) -> None:
         for epoch in range(epochs):
             t0 = time.time()
             step_metrics = []
@@ -198,8 +211,6 @@ class MaskLabTrainer:
             self.ckpt.save_epoch(self.state,
                                  val_loss if val_loss is not None
                                  else train_loss, epoch)
-        if loader is not None:
-            loader.close()
 
     def smoke_check(self, generator: MaskLabGenerator,
                     num_steps: int = 1) -> None:
@@ -232,7 +243,7 @@ def train_masklab_model(config: ModelConfiguration,
     train_gen = MaskLabGenerator(
         trainset.get_config(), scale_ratio=t.scale_ratio,
         batch_size=t.batch_size,
-        scale_buckets=config.compute.scale_buckets)
+        scale_buckets=config.compute.scale_buckets, seed=t.seed)
     # valid batch = 4x train batch (engine/train.py:50), clamped so small
     # validation sets still yield at least one full batch
     valid_gen = MaskLabGenerator(

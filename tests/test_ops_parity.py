@@ -331,6 +331,38 @@ class TestCandidatePool:
             masked = jnp.where(scores >= floor, scores, -1.0)
             self._check(masked, k, floor)
 
+    def test_sharded_pool_matches_topk_and_is_sort_free(self):
+        # the multi-process form (shard_map body, per-device certificate —
+        # ops/nms.py shard_local_nms) must match lax.top_k exactly and
+        # compile without an O(N) score sort, proven on the virtual
+        # 8-device mesh
+        import re
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from masklab_tpu.ops.nms import _pool_sharded
+        from masklab_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(data=8)
+        rng = np.random.RandomState(6)
+        n = 81840
+        # quantize for ties; one row gets an adversarial overflowing
+        # strided segment so at least one device takes the exact branch
+        base = rng.rand(8, 2, n).astype(np.float32).round(2)
+        s = -(-n // 128)
+        base[5, 0, 3::s] = np.linspace(1.5, 2.0, base[5, 0, 3::s].size)
+        scores = jax.device_put(jnp.asarray(base),
+                                NamedSharding(mesh, P('data')))
+        fn = jax.jit(lambda x: _pool_sharded(x, 256, 0.05, mesh, 'data'))
+        txt = fn.lower(scores).compile().as_text()
+        big = [ln for ln in txt.splitlines()
+               if re.search(r'sort.*\[[^]]*81[0-9]{3}', ln)]
+        assert not big, big[:2]
+        got_v, got_i = jax.block_until_ready(fn(scores))
+        ref_v, ref_i = jax.lax.top_k(jnp.asarray(base), 256)
+        valid = np.asarray(ref_v) >= 0.05
+        assert valid.all()
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+
     def test_no_full_sort_in_compiled_nms_at_bench_scale(self):
         # regression guard: at bench-scale anchor counts the compiled
         # single-process NMS must select candidates via the sort-free
