@@ -13,10 +13,12 @@ float32 parameters; normalization statistics are always float32.
 """
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = Any
@@ -39,13 +41,6 @@ class GroupNorm(nn.Module):
     (band, c mod C/G), not per channel. Reference-trained weights only
     make sense under these semantics, so we reproduce them exactly
     (verified by weight transplant in tests/test_weight_transplant.py).
-
-    Precision: statistics (E[x], E[x^2]) always accumulate in float32;
-    the normalize+affine then runs in x.dtype, so bit-for-bit reference
-    parity holds for float32 inputs (what the transplant suite checks).
-    bfloat16 compute trades ~3 ulp of normalize rounding for keeping the
-    whole chain in the fused bf16 elementwise loop (f32-normalize
-    measured 594 -> 461 dense img/s at model level, round-3 log).
     """
     groups: int = 16
     dtype: Dtype = jnp.float32
@@ -81,33 +76,105 @@ class GroupNorm(nn.Module):
             m1 = jnp.mean(f32, axis=(2, 3), keepdims=True)
             m2 = jnp.mean(jnp.square(f32), axis=(2, 3), keepdims=True)
             inv = jax.lax.rsqrt(jnp.maximum(m2 - jnp.square(m1), 0.0) + 1e-5)
-            y = (g - m1.astype(x.dtype)) * inv.astype(x.dtype)
+            # normalize + affine in float32 (XLA fuses the whole chain into
+            # one elementwise loop, so bf16 inputs pay no extra HBM traffic
+            # — only the register math widens); cast once at the end
+            y = (f32 - m1) * inv
             table_s = jnp.tile(scale.reshape(groups, cg), (1, c // cg))
             table_b = jnp.tile(bias.reshape(groups, cg), (1, c // cg))
-            y = (y * table_s[None, :, None, :].astype(x.dtype)
-                 + table_b[None, :, None, :].astype(x.dtype))
+            y = y * table_s[None, :, None, :] + table_b[None, :, None, :]
             return y.reshape(shape).astype(self.dtype)
-        # ragged maps (G does not divide H*W — e.g. the 14x14 mask-head
-        # crops): flat-band fallback, identical math. The affine is
-        # applied as a periodic [G, L] table along the flat band — the
-        # earlier [B, G, H, W, C/G] reshape put C/G=8 on the minor axis,
-        # which lane-pads 16x (a 20 MB mask-head temp cost 378 MB and
-        # OOMed the training step across capacity buckets). A fancier
-        # zero-relayout variant (band stats as [B, HWC] x [HWC, G]
-        # matmuls against a constant band one-hot) measured 16% SLOWER
-        # end-to-end — the N=16 GEMMs are too skinny for the MXU.
-        flat = x.reshape(shape[0], groups, -1)
+        # ragged maps (G does not divide H*W — the 14x14 mask-head crops):
+        # the round-2 flat-band reshape [B, G, HWC/G] merges channels into
+        # the band axis, forcing XLA to physically relayout every crop —
+        # measured 13.4 ms for the 4-layer mask-head GN at 800 crops,
+        # 3.5x the convs themselves (benchmarks/profile_mask_head.py).
+        # Even a [B, HW, C] channel-minor reshape relayouts: W=14 is the
+        # sublane dim, tiled-padded to 16, so merging H and W moves every
+        # row. This path never reshapes the big tensor at all:
+        #   * band sums = a full-window VALID convolution with a constant
+        #     0/1 [H, W, C, G] kernel (convs are native NHWC — no layout
+        #     change; with d = gcd(band_length, C) every (pixel, d-channel
+        #     sub-block) lies entirely in ONE band, so the kernel is exact)
+        #   * broadcast-back = a tiny gather m1[:, gmap] fused into the
+        #     final elementwise pass (m1 is [B, G], VMEM-resident).
+        # The per-band-position affine reduces to index g*cg + c % cg
+        # (band length is a multiple of cg, and cg | C).
+        if x.ndim == 4:
+            b, h, w = shape[0], shape[1], shape[2]
+            length = spatial * cg                     # band length
+            d = math.gcd(length, c)
+            # static index maps (numpy, baked into the graph as constants)
+            flat_start = (np.arange(spatial)[:, None] * c
+                          + (np.arange(c)[None, :] // d) * d)
+            gmap = (flat_start // length).reshape(h, w, c)  # [H,W,C] band id
+            onehot = jnp.asarray(
+                (gmap[..., None] == np.arange(groups)), jnp.float32)
+
+            def band_sums(v):
+                # 0/1 kernel: bf16 operands accumulate exactly in f32 at
+                # default precision; f32 operands need HIGHEST (the default
+                # rounds them through bf16, and HIGHEST's 6-pass decomposition
+                # is exact for a 0/1 kernel)
+                prec = (None if v.dtype == jnp.bfloat16
+                        else jax.lax.Precision.HIGHEST)
+                return jax.lax.conv_general_dilated(
+                    v, onehot.astype(v.dtype), (1, 1), 'VALID',
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                    preferred_element_type=jnp.float32,
+                    precision=prec)[:, 0, 0, :]
+
+            f32 = x.astype(jnp.float32)
+            s1 = band_sums(x)
+            # bf16 inputs: square in bf16 (each square rounds at 2^-9 —
+            # below bf16 activation resolution; sums still accumulate in
+            # f32). f32 inputs: exact f32 squares, so parity tests see
+            # flat-band-identical statistics.
+            sq = x * x if x.dtype == jnp.bfloat16 else f32 * f32
+            s2 = band_sums(sq)
+            m1 = s1 / length
+            inv = jax.lax.rsqrt(
+                jnp.maximum(s2 / length - jnp.square(m1), 0.0) + 1e-5)
+            # broadcast-back: indexing m1[:, gmap] lowers to a dynamic
+            # gather over [B, G] with a [H, W, C] index tensor — measured
+            # ~13 ms for the 4-layer mask-head GN, the entire remaining
+            # cost. Expand the per-band stats with ANOTHER constant 0/1
+            # convolution instead: a 1x1-spatial input under full padding
+            # places m1[n, g] at every output pixel weighted by
+            # kernel[h-1-i, w-1-j, g, c] = (band(i, j, c) == g).
+            bcast_k = jnp.asarray(
+                np.transpose(gmap[::-1, ::-1, :, None] == np.arange(groups),
+                             (0, 1, 3, 2)), jnp.float32)
+
+            def band_bcast(v):                        # [B, G] -> [B, H, W, C]
+                return jax.lax.conv_general_dilated(
+                    v[:, None, None, :], bcast_k, (1, 1),
+                    ((h - 1, h - 1), (w - 1, w - 1)),
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                    precision=jax.lax.Precision.HIGHEST)
+
+            # fold the affine into the broadcast operands: y = x*A + B with
+            # A = inv*scale, B = bias - m1*inv*scale, so the final pass is
+            # one fused multiply-add over the big tensor
+            sidx = gmap * cg + np.arange(c) % cg      # [H,W,C] affine index
+            scale_c = jnp.asarray(scale)[sidx]
+            bias_c = jnp.asarray(bias)[sidx]
+            a = band_bcast(inv) * scale_c
+            y = f32 * a + (bias_c - band_bcast(m1 * inv) * scale_c)
+            return y.astype(self.dtype)
+        # generic-rank fallback (nothing hot reaches it): flat-band math,
+        # identical numerics, pays the relayout
+        b = shape[0]
+        flat = x.reshape(b, groups, -1)
         f32 = flat.astype(jnp.float32)
         m1 = jnp.mean(f32, axis=-1, keepdims=True)
         m2 = jnp.mean(jnp.square(f32), axis=-1, keepdims=True)
         inv = jax.lax.rsqrt(jnp.maximum(m2 - jnp.square(m1), 0.0) + 1e-5)
-        g = (flat - m1.astype(x.dtype)) * inv.astype(x.dtype)
+        g = (f32 - m1) * inv
         length = flat.shape[-1]
-        # band position p maps to channel g*cg + (p % cg)
         table_s = jnp.tile(scale.reshape(groups, cg), (1, length // cg))
         table_b = jnp.tile(bias.reshape(groups, cg), (1, length // cg))
-        g = (g * table_s[None].astype(x.dtype)
-             + table_b[None].astype(x.dtype))
+        g = g * table_s[None] + table_b[None]
         return g.reshape(shape).astype(self.dtype)
 
 

@@ -221,12 +221,18 @@ class MaskSubNet(nn.Module):
                     # serializes on TPU, the einsum rides the MXU
                     onehot = (sel[:, :, None]
                               == jnp.arange(k)[None, None, :])  # [B, c, K]
-                    # 0/1 permutation matmul — HIGHEST keeps the f32 dot
-                    # exact on TPU (default precision rounds operands
-                    # through bf16, perturbing the routed logits)
+                    # 0/1 permutation matmul: bf16 operands are exact at
+                    # default precision (each output is one bf16 value
+                    # accumulated in f32, which round-trips exactly); f32
+                    # operands need HIGHEST (the default rounds them
+                    # through bf16, perturbing the routed logits).
+                    # HIGHEST on bf16 would force the slow multi-pass
+                    # path — measured 593 -> ~550 dense img/s.
+                    prec = (None if y.dtype == jnp.bfloat16
+                            else jax.lax.Precision.HIGHEST)
                     return jnp.einsum('bcj,bchwd->bjhwd',
-                                      onehot.astype(jnp.float32), y,
-                                      precision=jax.lax.Precision.HIGHEST)
+                                      onehot.astype(y.dtype), y,
+                                      precision=prec)
                 return branch
 
             total = total + nn.switch(

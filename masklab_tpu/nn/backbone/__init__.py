@@ -165,6 +165,34 @@ def module_frozen(backbone_type: str, module_name: str,
             if stage == depth and unit == 1:
                 return child.partition('/')[0] == 'bn1'
         return False
+    if bt in ('resnet50v2', 'resnet101v2'):
+        # keras v2 taps sit mid-stage (base.py:112-125): at depth Ck the
+        # layer-order cutoff (base.py:336-340) freezes whole blocks before
+        # the tap block and, inside it, only the layers built before the
+        # tap activation — preact_bn for the preact_relu taps (50v2),
+        # preact_bn+conv1+bn1 for the _1_relu taps (101v2).
+        if module_name.startswith('stem'):
+            return True
+        if freeze_depth == 'C5':
+            return True
+        if freeze_depth == 'C1' or module_name.startswith('post_bn'):
+            return False
+        tap = {'resnet50v2': {2: (2, 3), 3: (3, 4), 4: (4, 4)},
+               'resnet101v2': {2: (2, 3), 3: (3, 4), 4: (4, 23)}}
+        ts, tb = tap[bt][int(freeze_depth[1])]
+        head, _, child = module_name.partition('/')
+        m = re.match(r'stage(\d+)_block(\d+)$', head)
+        if not m:
+            return False
+        stage, block = int(m.group(1)), int(m.group(2))
+        if (stage, block) < (ts, tb):
+            return True
+        if (stage, block) == (ts, tb):
+            sub = child.partition('/')[0]
+            frozen = ({'preact_bn'} if bt == 'resnet50v2'
+                      else {'preact_bn', 'conv1', 'bn1'})
+            return sub in frozen
+        return False
     if bt == 'mobilenetv2':
         # taps sit at the first block of stages 1/2/3/5, same layout as
         # efficientnet's stage table

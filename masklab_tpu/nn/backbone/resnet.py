@@ -25,9 +25,16 @@ tests/test_weight_transplant.py):
     with explicit (1,1) padding, bias-free convs, eps 1.001e-5. On TPU,
     grouped convolution is native (``feature_group_count``) so the
     reference's DepthwiseConv split/reduce/merge trick is not needed.
-  * ``resnet50v2``/``resnet101v2`` — pre-activation v2 family. Deliberate
-    deviation (documented): stages stride their *first* block, where
-    keras.applications v2 strides the last; endpoint strides match.
+  * ``resnet50v2``/``resnet101v2`` — keras_applications resnet_v2 topology
+    (thirdparty/classification_models/models_factory.py:30 maps
+    'resnet50v2' to ka.resnet_v2.ResNet50V2; engine/backbone/base.py:204-212
+    builds ResNet101V2 directly): stride on each stack's *last* block
+    (conv5 unstrided), 1-wide maxpool shortcut on strided identity blocks,
+    biased stem conv and per-block 3rd 1x1 conv, BN eps 1.001e-5, final
+    post_bn+post_relu. The reference taps mid-stage activations
+    (base.py:112-125): resnet50v2 uses each stack's block preact_relu
+    (conv4 tapped at block4 of 6), resnet101v2 the *inner* ``_1_relu``
+    (64/128/256-channel) of each stack's last block.
 
 Endpoint convention (matching strides of the reference taps):
   C1 stride 2 (post-stem activation), C2 stride 4, C3 stride 8,
@@ -207,6 +214,7 @@ class BottleneckBlock(nn.Module):
                     use_bias=self.conv_bias, dtype=self.dtype)(x)
         y = _BN(self.dtype, eps=self.bn_eps)(y, train)
         y = nn.relu(y)
+        relu1 = y  # seresnext50's C2-C4 taps sit here (base.py:139-145)
         y = nn.Conv(self.filters, (3, 3), strides=s3, padding=_PAD1,
                     feature_group_count=self.groups,
                     use_bias=self.conv_bias, dtype=self.dtype)(y)
@@ -221,36 +229,93 @@ class BottleneckBlock(nn.Module):
             shortcut = nn.Conv(out_ch, (1, 1), strides=(self.stride,) * 2,
                                use_bias=self.conv_bias, dtype=self.dtype)(x)
             shortcut = _BN(self.dtype, eps=self.bn_eps)(shortcut, train)
-        return nn.relu(y + shortcut)
+        return nn.relu(y + shortcut), relu1
 
 
-class PreactBottleneck(nn.Module):
-    """BN-ReLU-conv pre-activation bottleneck (resnet v2 family)."""
+class V2Block(nn.Module):
+    """keras_applications resnet_v2 ``block2``: BN-ReLU preact, optional
+    1x1 conv shortcut (stack-first blocks) or 1-wide maxpool shortcut
+    (strided last blocks — pure subsampling), two bias-free convs with an
+    explicit (1,1) pad on the 3x3, then a *biased* expanding 1x1.
+
+    Returns ``(out, taps)`` where taps carries the two activations the
+    reference's endpoint table addresses (engine/backbone/base.py:112-125):
+    ``preact_relu`` and the post-conv1 ``1_relu``.
+    """
     filters: int
     stride: int = 1
-    expansion: int = 4
+    conv_shortcut: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        out_ch = self.filters * self.expansion
-        pre = _BN(self.dtype)(x, train)
+        out_ch = self.filters * 4
+        pre = _BN(self.dtype, eps=1.001e-5, name='preact_bn')(x, train)
         pre = nn.relu(pre)
-        if x.shape[-1] != out_ch or self.stride != 1:
+        if self.conv_shortcut:
             shortcut = nn.Conv(out_ch, (1, 1), strides=(self.stride,) * 2,
-                               use_bias=False, dtype=self.dtype)(pre)
+                               dtype=self.dtype, name='conv0')(pre)
+        elif self.stride > 1:
+            # MaxPooling2D(pool_size=1, strides=s) == subsampling
+            shortcut = x[:, ::self.stride, ::self.stride, :]
         else:
             shortcut = x
-        y = nn.Conv(self.filters, (1, 1), use_bias=False,
-                    dtype=self.dtype)(pre)
-        y = _BN(self.dtype)(y, train)
+        y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
+                    name='conv1')(pre)
+        y = _BN(self.dtype, eps=1.001e-5, name='bn1')(y, train)
         y = nn.relu(y)
+        taps = {'preact_relu': pre, '1_relu': y}
         y = nn.Conv(self.filters, (3, 3), strides=(self.stride,) * 2,
-                    padding='SAME', use_bias=False, dtype=self.dtype)(y)
-        y = _BN(self.dtype)(y, train)
+                    padding=_PAD1, use_bias=False, dtype=self.dtype,
+                    name='conv2')(y)
+        y = _BN(self.dtype, eps=1.001e-5, name='bn2')(y, train)
         y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype)(y)
-        return y + shortcut
+        y = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name='conv3')(y)
+        return y + shortcut, taps
+
+
+class ResNetV2(nn.Module):
+    """keras_applications resnet_v2 body returning C1..C5 endpoints.
+
+    ``taps`` maps C2..C4 to (stage index, 0-based block index, tap kind)
+    where kind is 'preact_relu' or '1_relu' — the reference addresses
+    mid-stage activations by layer name (engine/backbone/base.py:112-125).
+    C1 is the raw (biased, un-normalized) stem conv output
+    ('conv1_conv'); C5 is post_relu.
+    """
+    stage_blocks: Sequence[int] = (3, 4, 6, 3)
+    taps: Any = None  # {'C2': (0, 2, 'preact_relu'), ...}
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        endpoints = {}
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    dtype=self.dtype, name='stem')(x)
+        endpoints['C1'] = x
+        # keras ZeroPadding2D((1,1)) + valid MaxPool: in the preact family
+        # the stem conv output is un-relu'd (can be negative), so keras's
+        # zero pad participates in the max — flax's -inf pad does not.
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding='VALID')
+        tap_of = {(si, bi, kind): name
+                  for name, (si, bi, kind) in (self.taps or {}).items()}
+        filters = (64, 128, 256, 512)
+        for si, blocks in enumerate(self.stage_blocks):
+            last_stride = 2 if si < len(self.stage_blocks) - 1 else 1
+            for bi in range(blocks):
+                x, taps = V2Block(
+                    filters[si],
+                    stride=last_stride if bi == blocks - 1 else 1,
+                    conv_shortcut=(bi == 0), dtype=self.dtype,
+                    name=f'stage{si + 2}_block{bi + 1}')(x, train)
+                for kind, t in taps.items():
+                    name = tap_of.get((si, bi, kind))
+                    if name:
+                        endpoints[name] = t
+        x = _BN(self.dtype, eps=1.001e-5, name='post_bn')(x, train)
+        endpoints['C5'] = nn.relu(x)
+        return endpoints
 
 
 class _Stage(nn.Module):
@@ -268,24 +333,23 @@ class _Stage(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        relu1_first = None
         for i in range(self.num_blocks):
             stride = self.stride if i == 0 else 1
             if self.block == 'basic':
                 x = BasicBlock(self.filters, stride, self.use_se,
                                self.dtype)(x, train)
-            elif self.block == 'preact':
-                x = PreactBottleneck(self.filters, stride,
-                                     expansion=self.expansion,
-                                     dtype=self.dtype)(x, train)
             else:
-                x = BottleneckBlock(self.filters, stride, self.groups,
-                                    expansion=self.expansion,
-                                    use_se=self.use_se,
-                                    stride_first=self.stride_first,
-                                    conv_bias=self.conv_bias,
-                                    bn_eps=self.bn_eps,
-                                    dtype=self.dtype)(x, train)
-        return x
+                x, relu1 = BottleneckBlock(self.filters, stride, self.groups,
+                                           expansion=self.expansion,
+                                           use_se=self.use_se,
+                                           stride_first=self.stride_first,
+                                           conv_bias=self.conv_bias,
+                                           bn_eps=self.bn_eps,
+                                           dtype=self.dtype)(x, train)
+                if i == 0:
+                    relu1_first = relu1
+        return x, relu1_first
 
 
 class ResNet(nn.Module):
@@ -300,6 +364,7 @@ class ResNet(nn.Module):
     stride_first: bool = False
     conv_bias: bool = False
     bn_eps: float = 1e-5
+    inner_taps: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -309,25 +374,25 @@ class ResNet(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=self.conv_bias, dtype=self.dtype,
                     name='stem')(x)
-        preact = self.block == 'preact'
-        if not preact:
-            x = _BN(self.dtype, eps=self.bn_eps, name='stem_bn')(x, train)
-            x = nn.relu(x)
+        x = _BN(self.dtype, eps=self.bn_eps, name='stem_bn')(x, train)
+        x = nn.relu(x)
         endpoints['C1'] = x
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         strides = (1, 2, 2, 2)
         for si, (blocks, filters, stride) in enumerate(
                 zip(self.stage_blocks, self.stage_filters, strides)):
-            x = _Stage(blocks, filters, stride, self.block, self.groups,
-                       self.expansion, self.use_se, self.stride_first,
-                       self.conv_bias, self.bn_eps, self.dtype,
-                       name=f'stage{si + 2}')(x, train)
+            x, relu1 = _Stage(blocks, filters, stride, self.block,
+                              self.groups, self.expansion, self.use_se,
+                              self.stride_first, self.conv_bias,
+                              self.bn_eps, self.dtype,
+                              name=f'stage{si + 2}')(x, train)
+            if self.inner_taps and si >= 1:
+                # seresnext50 (base.py:139-145): C{si+1} is the post-conv1
+                # relu inside this stage's first block — same stride as
+                # the previous stage's output because the stride sits on
+                # the 3x3, after the tap
+                endpoints[f'C{si + 1}'] = relu1
             endpoints[f'C{si + 2}'] = x
-        if preact:
-            # v2: final post-activation ('post_relu' endpoint, base.py:117)
-            x = _BN(self.dtype, name='post_bn')(x, train)
-            x = nn.relu(x)
-            endpoints['C5'] = x
         return endpoints
 
 
@@ -338,11 +403,20 @@ def resnet50(dtype=jnp.float32):
 
 
 def resnet50v2(dtype=jnp.float32):
-    return ResNet(block='preact', dtype=dtype)
+    # taps: conv{2,3,4}_block{3,4,4}_preact_relu (base.py:112-117) — note
+    # conv4 tapped mid-stage at block4 of 6
+    return ResNetV2(taps={'C2': (0, 2, 'preact_relu'),
+                          'C3': (1, 3, 'preact_relu'),
+                          'C4': (2, 3, 'preact_relu')}, dtype=dtype)
 
 
 def resnet101v2(dtype=jnp.float32):
-    return ResNet(stage_blocks=(3, 4, 23, 3), block='preact', dtype=dtype)
+    # taps: conv{2,3,4}_block{3,4,23}_1_relu (base.py:119-125) — the inner
+    # 64/128/256-channel activation of each stack's last (strided) block
+    return ResNetV2(stage_blocks=(3, 4, 23, 3),
+                    taps={'C2': (0, 2, '1_relu'),
+                          'C3': (1, 3, '1_relu'),
+                          'C4': (2, 22, '1_relu')}, dtype=dtype)
 
 
 def resnet101(dtype=jnp.float32):
@@ -365,13 +439,18 @@ def seresnet34(dtype=jnp.float32):
 
 
 def seresnet50(dtype=jnp.float32):
-    # senet.py SEResNetBottleneck: stride on the first 1x1 conv
+    # senet.py SEResNetBottleneck: stride on the first 1x1 conv; BN eps
+    # 9.9999997e-6 (senet.py:27-34)
     return ResNet(block='bottleneck', use_se=True, stride_first=True,
-                  bn_eps=2e-5, dtype=dtype)
+                  bn_eps=1e-5, dtype=dtype)
 
 
 def seresnext50(dtype=jnp.float32):
-    # senet.py SEResNeXtBottleneck: stride on the grouped 3x3
+    # senet.py SEResNeXtBottleneck: stride on the grouped 3x3; width =
+    # (out/4)*base_width*groups/64 -> inner (128, 256, 512, 1024).
+    # inner_taps: the reference's C2-C4 (activation_{16,36,66},
+    # base.py:139-145) are the post-conv1 relus inside the NEXT stage's
+    # first block, not the stage outputs.
     return ResNet(stage_filters=(128, 256, 512, 1024), block='bottleneck',
-                  groups=32, expansion=2, use_se=True, bn_eps=2e-5,
-                  dtype=dtype)
+                  groups=32, expansion=2, use_se=True, bn_eps=1e-5,
+                  inner_taps=True, dtype=dtype)

@@ -420,9 +420,297 @@ def convert_seresnet34(weights: Sequence[Weight],
     return params, stats
 
 
+def convert_resnet_v2(weights: Sequence[Weight],
+                      stage_blocks: Sequence[int] = (3, 4, 6, 3)
+                      ) -> Tuple[Dict, Dict]:
+    """keras_applications resnet_v2 (ResNet50V2/ResNet101V2,
+    thirdparty/classification_models/models_factory.py:30;
+    engine/backbone/base.py:204-212) -> ResNetV2 (params, batch_stats).
+
+    Layer names: conv1_conv; conv{s}_block{b}_{preact_bn,1_conv,1_bn,
+    2_conv,2_bn,3_conv} plus _0_conv on each stack's first block; post_bn.
+    """
+    named: Dict[str, List[Weight]] = {}
+    for layer, items in _group_by_layer(weights):
+        named.setdefault(layer, []).extend(items)
+
+    def gcur(name: str) -> WeightCursor:
+        if name not in named:
+            raise ImportMismatch(f'resnet_v2: missing layer {name!r}')
+        return WeightCursor(named.pop(name), name)
+
+    def bn(name: str):
+        cur = gcur(name)
+        p, s = take_bn(cur)
+        cur.finish()
+        return {'BatchNorm_0': p}, {'BatchNorm_0': s}
+
+    def conv(name: str, use_bias: bool):
+        cur = gcur(name)
+        out = take_conv(cur, use_bias=use_bias)
+        cur.finish()
+        return out
+
+    params: Dict = {'stem': conv('conv1_conv', True)}
+    stats: Dict = {}
+    for si, blocks in enumerate(stage_blocks):
+        for bi in range(blocks):
+            ref = f'conv{si + 2}_block{bi + 1}'
+            flax_name = f'stage{si + 2}_block{bi + 1}'
+            p: Dict = {}
+            s: Dict = {}
+            p['preact_bn'], s['preact_bn'] = bn(ref + '_preact_bn')
+            if bi == 0:
+                p['conv0'] = conv(ref + '_0_conv', True)
+            p['conv1'] = conv(ref + '_1_conv', False)
+            p['bn1'], s['bn1'] = bn(ref + '_1_bn')
+            p['conv2'] = conv(ref + '_2_conv', False)
+            p['bn2'], s['bn2'] = bn(ref + '_2_bn')
+            p['conv3'] = conv(ref + '_3_conv', True)
+            params[flax_name] = p
+            stats[flax_name] = s
+    params['post_bn'], stats['post_bn'] = bn('post_bn')
+    return params, stats
+
+
+def convert_vgg16(weights: Sequence[Weight]) -> Tuple[Dict, Dict]:
+    """keras.applications VGG16 (engine/backbone/base.py:248-252) -> VGG16
+    body. Named biased convs block{i}_conv{j}; no normalization layers."""
+    named: Dict[str, List[Weight]] = {}
+    for layer, items in _group_by_layer(weights):
+        named.setdefault(layer, []).extend(items)
+    params: Dict = {}
+    for bi, convs in enumerate((2, 2, 3, 3, 3), start=1):
+        for ci in range(1, convs + 1):
+            name = f'block{bi}_conv{ci}'
+            if name not in named:
+                raise ImportMismatch(f'vgg16: missing layer {name!r}')
+            cur = WeightCursor(named.pop(name), name)
+            params[name] = take_conv(cur, use_bias=True)
+            cur.finish()
+    return params, {}
+
+
+def _stack_group_convs(kernels: List[np.ndarray],
+                       biases: Optional[List[np.ndarray]] = None) -> Dict:
+    """Concatenate per-group Conv2D kernels (GroupConv2D,
+    _common_blocks.py:13-78: slice -> conv -> concat) along the output
+    axis into one XLA grouped-conv kernel [H, W, in/G, out]."""
+    out = {'kernel': np.concatenate(kernels, axis=-1)}
+    if biases is not None:
+        out['bias'] = np.concatenate(biases, axis=-1)
+    return out
+
+
+def _depthwise_to_grouped(kernel: np.ndarray, groups: int) -> np.ndarray:
+    """ResNext.py's grouped conv (DepthwiseConv2D depth_multiplier=c +
+    SplitGroups/ReduceGroups/MergeGroups, ResNext.py:23-77,213-219) ->
+    XLA grouped kernel.
+
+    Reference: out[.., g*c + m] = sum_i conv(x[.., g*c + i],
+    K[:, :, g*c + i, m]) with c = in_ch // groups. XLA layout
+    [H, W, in/G, out]: F[h, w, i, g*c + m] = K[h, w, g*c + i, m].
+    """
+    h, w, in_ch, mult = kernel.shape
+    c = in_ch // groups
+    if mult != c:
+        raise ImportMismatch(
+            f'resnext 3x3: depth_multiplier {mult} != in/groups {c}')
+    k = kernel.reshape(h, w, groups, c, mult)
+    return k.transpose(0, 1, 3, 2, 4).reshape(h, w, c, groups * mult)
+
+
+def convert_resnext50(weights: Sequence[Weight]) -> Tuple[Dict, Dict]:
+    """engine/backbone/ResNext.py ResNeXt50 -> ResNet(groups=32,
+    expansion=2) body. Keras-style names conv{s}_block{b}_{0,1,2,3}_conv /
+    _bn; all convs bias-free; the 3x3 is the depthwise+reduce trick."""
+    named: Dict[str, List[Weight]] = {}
+    for layer, items in _group_by_layer(weights):
+        named.setdefault(layer, []).extend(items)
+
+    def gcur(name: str) -> WeightCursor:
+        if name not in named:
+            raise ImportMismatch(f'resnext50: missing layer {name!r}')
+        return WeightCursor(named.pop(name), name)
+
+    def bn(name: str):
+        cur = gcur(name)
+        p, s = take_bn(cur)
+        cur.finish()
+        return {'BatchNorm_0': p}, {'BatchNorm_0': s}
+
+    def conv(name: str):
+        cur = gcur(name)
+        out = take_conv(cur, use_bias=False)
+        cur.finish()
+        return out
+
+    params: Dict = {'stem': conv('conv1_conv')}
+    stats: Dict = {}
+    params['stem_bn'], stats['stem_bn'] = bn('conv1_bn')
+    for si, blocks in enumerate((3, 4, 6, 3)):
+        sp: Dict = {}
+        ss: Dict = {}
+        for bi in range(blocks):
+            ref = f'conv{si + 2}_block{bi + 1}'
+            flax_name = f'BottleneckBlock_{bi}'
+            p: Dict = {}
+            s: Dict = {}
+            p['Conv_0'] = conv(ref + '_1_conv')
+            p['_BN_0'], s['_BN_0'] = bn(ref + '_1_bn')
+            dw = conv(ref + '_2_conv')
+            p['Conv_1'] = {
+                'kernel': _depthwise_to_grouped(dw['kernel'], 32)}
+            p['_BN_1'], s['_BN_1'] = bn(ref + '_2_bn')
+            p['Conv_2'] = conv(ref + '_3_conv')
+            p['_BN_2'], s['_BN_2'] = bn(ref + '_3_bn')
+            if bi == 0:
+                p['Conv_3'] = conv(ref + '_0_conv')
+                p['_BN_3'], s['_BN_3'] = bn(ref + '_0_bn')
+            sp[flax_name] = p
+            ss[flax_name] = s
+        params[f'stage{si + 2}'] = sp
+        stats[f'stage{si + 2}'] = ss
+    return params, stats
+
+
+def convert_senet(weights: Sequence[Weight], groups: int = 1,
+                  stage_blocks: Sequence[int] = (3, 4, 6, 3)
+                  ) -> Tuple[Dict, Dict]:
+    """Vendored senet.py SEResNet50/SEResNeXt50 -> ResNet(use_se=True)
+    body. All block layers are anonymous, so weights are consumed in
+    functional build order (senet.py:46-135,299-307): stem conv+bn; per
+    block conv1/bn, 3x3 (one conv, or ``groups`` per-group convs)/bn,
+    conv3/bn, then the two SE convs, then shortcut conv+bn on stage-first
+    blocks (tf2 Model.weights is graph-topological: the SE branch hangs
+    off bn3 and sorts before the shortcut conv even though the shortcut
+    layer is *created* first, senet.py:73-81)."""
+    cur = WeightCursor(list(weights), 'senet')
+
+    def bn():
+        p, s = take_bn(cur)
+        return {'BatchNorm_0': p}, {'BatchNorm_0': s}
+
+    def conv():
+        return take_conv(cur, use_bias=False)
+
+    params: Dict = {'stem': conv()}
+    stats: Dict = {}
+    params['stem_bn'], stats['stem_bn'] = bn()
+    for si, blocks in enumerate(stage_blocks):
+        sp: Dict = {}
+        ss: Dict = {}
+        for bi in range(blocks):
+            p: Dict = {}
+            s: Dict = {}
+            p['Conv_0'] = conv()
+            p['_BN_0'], s['_BN_0'] = bn()
+            if groups > 1:
+                ks = [conv()['kernel'] for _ in range(groups)]
+                p['Conv_1'] = _stack_group_convs(ks)
+            else:
+                p['Conv_1'] = conv()
+            p['_BN_1'], s['_BN_1'] = bn()
+            p['Conv_2'] = conv()
+            p['_BN_2'], s['_BN_2'] = bn()
+            p['_SE_0'] = take_channel_se(cur)
+            if bi == 0:
+                p['Conv_3'] = conv()
+                p['_BN_3'], s['_BN_3'] = bn()
+            sp[f'BottleneckBlock_{bi}'] = p
+            ss[f'BottleneckBlock_{bi}'] = s
+        params[f'stage{si + 2}'] = sp
+        stats[f'stage{si + 2}'] = ss
+    cur.finish()
+    return params, stats
+
+
+def convert_efficientnet(weights: Sequence[Weight],
+                         width: float = 1.1,
+                         depth: float = 1.2) -> Tuple[Dict, Dict]:
+    """EfficientNet (the ``efficientnet`` package the reference builds at
+    engine/backbone/base.py:259-279; keras.applications shares its layer
+    naming) -> flax EfficientNet (params, batch_stats).
+
+    Layer names: stem_conv/stem_bn; per block ``block{S}{a..}_`` with
+    expand_conv/expand_bn (expand!=1 only), dwconv/bn, se_reduce/se_expand
+    (biased), project_conv/project_bn; then top_conv/top_bn.
+    """
+    import math as _math
+    from ..nn.backbone.efficientnet import (_BASE_BLOCKS, _round_filters,
+                                            _round_repeats)
+    named: Dict[str, List[Weight]] = {}
+    for layer, items in _group_by_layer(weights):
+        named.setdefault(layer, []).extend(items)
+
+    def gcur(name: str) -> WeightCursor:
+        if name not in named:
+            raise ImportMismatch(f'efficientnet: missing layer {name!r}')
+        return WeightCursor(named.pop(name), name)
+
+    def bn(name: str):
+        cur = gcur(name)
+        p, s = take_bn(cur)
+        cur.finish()
+        return {'BatchNorm_0': p}, {'BatchNorm_0': s}
+
+    def conv(name: str, use_bias: bool):
+        cur = gcur(name)
+        out = take_conv(cur, use_bias=use_bias)
+        cur.finish()
+        return out
+
+    def dwconv(name: str):
+        cur = gcur(name)
+        out = take_depthwise(cur)
+        cur.finish()
+        return out
+
+    params: Dict = {'stem': conv('stem_conv', False)}
+    stats: Dict = {}
+    params['stem_bn'], stats['stem_bn'] = bn('stem_bn')
+    for si, (expand, ch, repeats, stride, kernel) in enumerate(_BASE_BLOCKS):
+        for bi in range(_round_repeats(repeats, depth)):
+            ref = f'block{si + 1}{chr(97 + bi)}'
+            flax_name = f'stage{si}_block{bi}'
+            p: Dict = {}
+            s: Dict = {}
+            ci = 0
+            bni = 0
+            if expand != 1:
+                p[f'Conv_{ci}'] = conv(ref + '_expand_conv', False)
+                ci += 1
+                p[f'_BN_{bni}'], s[f'_BN_{bni}'] = bn(ref + '_expand_bn')
+                bni += 1
+            p[f'Conv_{ci}'] = dwconv(ref + '_dwconv')
+            ci += 1
+            p[f'_BN_{bni}'], s[f'_BN_{bni}'] = bn(ref + '_bn')
+            bni += 1
+            p[f'Conv_{ci}'] = conv(ref + '_se_reduce', True)
+            ci += 1
+            p[f'Conv_{ci}'] = conv(ref + '_se_expand', True)
+            ci += 1
+            p[f'Conv_{ci}'] = conv(ref + '_project_conv', False)
+            p[f'_BN_{bni}'], s[f'_BN_{bni}'] = bn(ref + '_project_bn')
+            params[flax_name] = p
+            stats[flax_name] = s
+    params['top_conv'] = conv('top_conv', False)
+    params['top_bn'], stats['top_bn'] = bn('top_bn')
+    return params, stats
+
+
 _BACKBONE_CONVERTERS = {
     'mobilenet': convert_mobilenet,
     'seresnet34': convert_seresnet34,
+    'resnet50v2': lambda w: convert_resnet_v2(w, (3, 4, 6, 3)),
+    'resnet101v2': lambda w: convert_resnet_v2(w, (3, 4, 23, 3)),
+    'resnext50': convert_resnext50,
+    'vgg16': convert_vgg16,
+    'seresnet50': lambda w: convert_senet(w, groups=1),
+    'seresnext50': lambda w: convert_senet(w, groups=32),
+    'efficientnetb2': lambda w: convert_efficientnet(w, 1.1, 1.2),
+    'efficientnetb3': lambda w: convert_efficientnet(w, 1.2, 1.4),
+    'efficientnetb4': lambda w: convert_efficientnet(w, 1.4, 1.8),
 }
 
 
@@ -445,7 +733,9 @@ def convert_backbone(weights: Sequence[Weight], backbone_type: str,
             body_w.append((name, value))
     body_params, body_stats = _BACKBONE_CONVERTERS[bt](body_w)
     body_name = {'mobilenet': 'MobileNetV1_0',
-                 'seresnet34': 'CMResNet_0'}[bt]
+                 'seresnet34': 'CMResNet_0',
+                 'resnet50v2': 'ResNetV2_0',
+                 'resnet101v2': 'ResNetV2_0'}[bt]
     params: Dict = {body_name: body_params}
     stats: Dict = {body_name: body_stats}
     if extras:

@@ -286,3 +286,183 @@ def test_mobilenet_backbone(ref):
                               jnp.asarray(x), train=False)
     for i, name in enumerate(['C1', 'C2', 'C3', 'C4', 'C5']):
         assert_close(got[name], want[i], tol=2e-4)
+
+
+def test_resnet50v2_backbone(ref):
+    """keras_applications resnet_v2 topology (models_factory.py:30): stride
+    on each stack's last block, maxpool shortcut, mid-stage preact_relu
+    taps (base.py:112-117 — conv4 tapped at block4 of 6)."""
+    from masklab_tpu.nn.backbone.resnet import resnet50v2
+    m = tf.keras.applications.ResNet50V2(
+        input_shape=(96, 96, 3), include_top=False, weights=None)
+    taps = ['conv1_conv', 'conv2_block3_preact_relu',
+            'conv3_block4_preact_relu', 'conv4_block4_preact_relu',
+            'post_relu']
+    tap_model = tf.keras.Model(m.input,
+                               [m.get_layer(t).output for t in taps])
+    randomize(m)
+    x = _x(1, 96, 96, 3)
+    want = [t.numpy() for t in tap_model(tf.constant(x))]
+    params, stats = ki.convert_resnet_v2(ki.weights_of_layer(m))
+    got = resnet50v2().apply({'params': params, 'batch_stats': stats},
+                             jnp.asarray(x), train=False)
+    for i, name in enumerate(['C1', 'C2', 'C3', 'C4', 'C5']):
+        assert_close(got[name], want[i], tol=2e-4)
+
+
+def test_resnet101v2_backbone(ref):
+    """ResNet101V2 (base.py:204-212): the reference taps the *inner*
+    64/128/256-channel ``_1_relu`` of each stack's last block
+    (base.py:119-125)."""
+    from masklab_tpu.nn.backbone.resnet import resnet101v2
+    m = tf.keras.applications.ResNet101V2(
+        input_shape=(96, 96, 3), include_top=False, weights=None)
+    taps = ['conv1_conv', 'conv2_block3_1_relu', 'conv3_block4_1_relu',
+            'conv4_block23_1_relu', 'post_relu']
+    tap_model = tf.keras.Model(m.input,
+                               [m.get_layer(t).output for t in taps])
+    randomize(m)
+    x = _x(1, 96, 96, 3)
+    want = [t.numpy() for t in tap_model(tf.constant(x))]
+    params, stats = ki.convert_resnet_v2(ki.weights_of_layer(m),
+                                         stage_blocks=(3, 4, 23, 3))
+    got = resnet101v2().apply({'params': params, 'batch_stats': stats},
+                              jnp.asarray(x), train=False)
+    for i, name in enumerate(['C1', 'C2', 'C3', 'C4', 'C5']):
+        assert_close(got[name], want[i], tol=2e-4)
+
+
+def test_resnext50_backbone(ref):
+    """engine/backbone/ResNext.py: grouped 3x3 realized as
+    DepthwiseConv2D(depth_multiplier=c) + split/reduce/merge
+    (ResNext.py:23-77) vs native feature_group_count, all 5 taps
+    (base.py:146-153)."""
+    from masklab_tpu.nn.backbone.resnet import resnext50
+    from engine.backbone.ResNext import ResNeXt50
+    m = ResNeXt50(input_shape=(64, 64, 3), include_top=False, weights=None)
+    taps = ['conv1_relu', 'conv2_block3_out', 'conv3_block4_out',
+            'conv4_block6_out', 'conv5_block3_out']
+    tap_model = tf.keras.Model(m.input,
+                               [m.get_layer(t).output for t in taps])
+    randomize(m)
+    x = _x(1, 64, 64, 3)
+    want = [t.numpy() for t in tap_model(tf.constant(x))]
+    params, stats = ki.convert_resnext50(ki.weights_of_layer(m))
+    got = resnext50().apply({'params': params, 'batch_stats': stats},
+                            jnp.asarray(x), train=False)
+    for i, name in enumerate(['C1', 'C2', 'C3', 'C4', 'C5']):
+        assert_close(got[name], want[i], tol=2e-4)
+
+
+def test_vgg16_backbone(ref):
+    from masklab_tpu.nn.backbone.vgg import VGG16
+    m = tf.keras.applications.VGG16(
+        input_shape=(64, 64, 3), include_top=False, weights=None)
+    taps = ['block2_conv2', 'block3_conv3', 'block4_conv3', 'block5_conv3',
+            'block5_pool']
+    tap_model = tf.keras.Model(m.input,
+                               [m.get_layer(t).output for t in taps])
+    # scale 0.04 keeps activations O(1) through 13 un-normalized convs;
+    # at the default 0.1 they reach ~1e2 and f32 accumulation-order noise
+    # exceeds the transplant tolerance
+    randomize(m, scale=0.04)
+    x = _x(1, 64, 64, 3)
+    want = [t.numpy() for t in tap_model(tf.constant(x))]
+    params, _ = ki.convert_vgg16(ki.weights_of_layer(m))
+    got = VGG16().apply({'params': params}, jnp.asarray(x), train=False)
+    for i, name in enumerate(['C1', 'C2', 'C3', 'C4', 'C5']):
+        assert_close(got[name], want[i], tol=2e-4)
+
+
+def test_efficientnetb2_backbone(ref):
+    """The reference builds EfficientNetB2 from the ``efficientnet``
+    package (engine/backbone/base.py:259-279), which is not installable
+    offline; keras.applications.EfficientNetB2 implements the same
+    TF-TPU architecture with the same layer naming (block{S}{a..}_*) and
+    serves as the transplant oracle. Input normalization (the keras
+    model's rescaling+normalization layers) is applied by the oracle
+    itself and its output fed to the flax model."""
+    from masklab_tpu.nn.backbone.efficientnet import efficientnet_b2
+    m = tf.keras.applications.EfficientNetB2(
+        input_shape=(64, 64, 3), include_top=False, weights=None)
+    taps = ['block2a_expand_activation', 'block3a_expand_activation',
+            'block4a_expand_activation', 'block6a_expand_activation',
+            'top_activation']
+    norm_out = m.get_layer('normalization').output
+    tap_model = tf.keras.Model(
+        m.input, [norm_out] + [m.get_layer(t).output for t in taps])
+    for layer in m.layers:
+        # keep the input rescaling/normalization constants sane (their
+        # 'variance'/'count' weights are not moving_* named)
+        if layer.weights and layer.name not in ('normalization',
+                                                'rescaling'):
+            randomize(layer)
+    x = _x(1, 64, 64, 3, scale=60.0) + 120.0  # pixel-range input
+    outs = [t.numpy() for t in tap_model(tf.constant(x))]
+    x_norm, want = outs[0], outs[1:]
+    params, stats = ki.convert_efficientnet(ki.weights_of_layer(m),
+                                            width=1.1, depth=1.2)
+    got = efficientnet_b2().apply({'params': params, 'batch_stats': stats},
+                                  jnp.asarray(x_norm), train=False)
+    for i, name in enumerate(['C1', 'C2', 'C3', 'C4', 'C5']):
+        assert_close(got[name], want[i], tol=2e-4)
+
+
+def _senet_model(ref, name):
+    """Build a vendored senet model (senet.py requires input_tensor +
+    original_input, the reference's calling convention, base.py:220-247)."""
+    from thirdparty.classification_models.models import senet
+    inp = tf.keras.Input((64, 64, 3), name='input')
+    return senet.SENet(senet.MODELS_PARAMS[name], input_tensor=inp,
+                       include_top=False, weights=None,
+                       original_input=inp,
+                       backend=tf.keras.backend, layers=tf.keras.layers,
+                       models=tf.keras.models, utils=tf.keras.utils)
+
+
+def _senet_taps(m, indices):
+    """Tap layers by Activation build index (5 per block: relu1, relu2,
+    SE relu, SE sigmoid, out relu; stem relu is index 0), matching the
+    reference's global-counter names activation_{N} (base.py:133-145):
+    seresnet50 taps stage outputs (0,15,35,65,80); seresnext50 taps the
+    post-conv1 relu inside the next stage's first block (0,16,36,66,80)."""
+    acts = [l.name for l in m.layers
+            if isinstance(l, tf.keras.layers.Activation)]
+    return [acts[i] for i in indices]
+
+
+def test_seresnet50_backbone(ref):
+    """Vendored senet.py SEResNetBottleneck (stride on the first 1x1,
+    BN eps ~1e-5, SE before Add) — anonymous layers, order-based
+    conversion. Taps by activation index (base.py:133-139)."""
+    from masklab_tpu.nn.backbone.resnet import seresnet50
+    m = _senet_model(ref, 'seresnet50')
+    taps = _senet_taps(m, (0, 15, 35, 65, 80))
+    tap_model = tf.keras.Model(m.input,
+                               [m.get_layer(t).output for t in taps])
+    randomize(m)
+    x = _x(1, 64, 64, 3)
+    want = [t.numpy() for t in tap_model(tf.constant(x))]
+    params, stats = ki.convert_senet(ki.weights_of_layer(m), groups=1)
+    got = seresnet50().apply({'params': params, 'batch_stats': stats},
+                             jnp.asarray(x), train=False)
+    for i, name in enumerate(['C1', 'C2', 'C3', 'C4', 'C5']):
+        assert_close(got[name], want[i], tol=2e-4)
+
+
+def test_seresnext50_backbone(ref):
+    """Vendored senet.py SEResNeXtBottleneck: GroupConv2D = 32 sliced
+    convs (._common_blocks.py:13-78) vs native feature_group_count."""
+    from masklab_tpu.nn.backbone.resnet import seresnext50
+    m = _senet_model(ref, 'seresnext50')
+    taps = _senet_taps(m, (0, 16, 36, 66, 80))
+    tap_model = tf.keras.Model(m.input,
+                               [m.get_layer(t).output for t in taps])
+    randomize(m)
+    x = _x(1, 64, 64, 3)
+    want = [t.numpy() for t in tap_model(tf.constant(x))]
+    params, stats = ki.convert_senet(ki.weights_of_layer(m), groups=32)
+    got = seresnext50().apply({'params': params, 'batch_stats': stats},
+                              jnp.asarray(x), train=False)
+    for i, name in enumerate(['C1', 'C2', 'C3', 'C4', 'C5']):
+        assert_close(got[name], want[i], tol=2e-4)
