@@ -135,15 +135,27 @@ def _build_predictor(cfg, save_dir):
 
 def cmd_serve(args) -> None:
     from .serving.server import MaskLabServer
-    cfg = _load_config([a for a in args if not a.startswith('--port')])
-    port = 8501
+    flags = ('--port', '--max-batch', '--no-watch')
+    cfg = _load_config([a for a in args
+                        if not a.startswith(flags)])
+    port, max_batch, watch = 8501, 8, True
     for a in args:
         if a.startswith('--port='):
             port = int(a.split('=', 1)[1])
+        elif a.startswith('--max-batch='):
+            max_batch = int(a.split('=', 1)[1])
+        elif a == '--no-watch':
+            watch = False
     predictor = _build_predictor(cfg, cfg.train.save_dir)
+    watch_dir = cfg.train.save_dir if (
+        watch and cfg.train.save_dir
+        and os.path.isdir(cfg.train.save_dir)) else None
     server = MaskLabServer(predictor, port=port,
-                           instance_labels=cfg.dataset.instance_labels)
-    print(f'serving on :{port} (POST /predict, GET /healthz)')
+                           instance_labels=cfg.dataset.instance_labels,
+                           max_batch=max_batch, watch_dir=watch_dir)
+    print(f'serving on :{port} (POST /predict, GET /healthz, '
+          f'POST /reload; micro-batch<={max_batch}, '
+          f'hot-reload={"on" if watch_dir else "off"})')
     server.start(background=False)
 
 

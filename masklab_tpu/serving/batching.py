@@ -1,0 +1,209 @@
+"""Server-side dynamic micro-batching and checkpoint hot-reload.
+
+The reference deployed through TF-Serving, which (a) batches concurrent
+requests into one device call (serving.py:42-109 runs the stock server
+with its batching scheduler) and (b) polls the model version directory
+and hot-loads new versions (road_project/setup/serving.py:75-84 writes
+versioned SavedModels into the watched dir). The in-process server here
+gets both:
+
+  * :class:`MicroBatcher` — concurrent requests queue up; a dispatcher
+    drains same-resolution groups into one padded device batch. Batch
+    sizes are bucketed (1/2/4/8/...) so each (resolution, bucket) pair
+    compiles once and then serves hot. One request alone still leaves
+    after ``window_ms``.
+  * :class:`CheckpointWatcher` — polls a checkpoint directory for a new
+    best ``{loss:.5f}-{epoch}`` entry and atomically swaps the
+    predictor's device-resident variables (requests in flight keep the
+    tree they started with; Python reference assignment is the atomic
+    version flip).
+"""
+from __future__ import annotations
+
+import os
+import threading
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _next_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class _Pending:
+    __slots__ = ('image', 'mode', 'event', 'result', 'error')
+
+    def __init__(self, image: np.ndarray, mode: Optional[str] = None):
+        self.image = image
+        self.mode = mode
+        self.event = threading.Event()
+        self.result: Optional[Dict[str, np.ndarray]] = None
+        self.error: Optional[BaseException] = None
+
+
+class MicroBatcher:
+    """Groups concurrent ``submit`` calls into batched ``predict`` calls.
+
+    ``predict`` takes a stacked uint8 image batch [B, H, W, 3] and returns
+    a dict of batch-leading arrays (MaskLabPredictor.predict). All images
+    in one device call share a resolution; mixed-resolution queues drain
+    as separate groups (largest group first).
+    """
+
+    def __init__(self, predict: Callable[[np.ndarray], Dict[str, np.ndarray]],
+                 max_batch: int = 8, window_ms: float = 4.0,
+                 buckets: Optional[Sequence[int]] = None):
+        if buckets is None:
+            # powers of two up to max_batch: each (resolution, bucket)
+            # compiles once; requests pad to the next bucket
+            buckets, b = [], 1
+            while b < max_batch:
+                buckets.append(b)
+                b *= 2
+            buckets.append(max_batch)
+        self.predict = predict
+        self.max_batch = min(max_batch, buckets[-1])
+        self.window_s = window_ms / 1000.0
+        self.buckets = tuple(buckets)
+        self._lock = threading.Condition()
+        self._queue: List[_Pending] = []
+        self._closed = False
+        self.batch_sizes: List[int] = []   # observability / tests
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ---- client side ----
+
+    def submit(self, image: np.ndarray,
+               mode: Optional[str] = None) -> Dict[str, np.ndarray]:
+        """Blocks until the batched result for ``image`` [H, W, 3] is in.
+
+        ``mode`` selects the predictor's output set (predictor.predict);
+        only requests with the same (resolution, mode) share a device
+        call."""
+        item = _Pending(image, mode)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError('MicroBatcher is closed')
+            self._queue.append(item)
+            self._lock.notify()
+        item.event.wait()
+        if item.error is not None:
+            raise item.error
+        return item.result
+
+    def close(self):
+        with self._lock:
+            self._closed = True
+            self._lock.notify()
+        self._thread.join(timeout=5.0)
+
+    # ---- dispatcher ----
+
+    def _take_group(self) -> List[_Pending]:
+        """Largest same-(resolution, mode) group, up to max_batch
+        (holds _lock)."""
+        by_hw: Dict[tuple, List[_Pending]] = {}
+        for item in self._queue:
+            by_hw.setdefault((item.image.shape[:2], item.mode),
+                             []).append(item)
+        group = max(by_hw.values(), key=len)[:self.max_batch]
+        taken = set(map(id, group))
+        self._queue = [i for i in self._queue if id(i) not in taken]
+        return group
+
+    def _loop(self):
+        while True:
+            with self._lock:
+                while not self._queue and not self._closed:
+                    self._lock.wait()
+                if self._closed and not self._queue:
+                    return
+            # batching window: let closely-spaced requests coalesce
+            deadline = time.monotonic() + self.window_s
+            while time.monotonic() < deadline:
+                with self._lock:
+                    if len(self._queue) >= self.max_batch:
+                        break
+                time.sleep(self.window_s / 8.0)
+            with self._lock:
+                group = self._take_group()
+            self._run(group)
+
+    def _run(self, group: List[_Pending]):
+        bucket = _next_bucket(len(group), self.buckets)
+        images = np.stack([i.image for i in group])
+        if bucket > len(group):
+            pad = np.zeros((bucket - len(group),) + images.shape[1:],
+                           images.dtype)
+            images = np.concatenate([images, pad])
+        self.batch_sizes.append(bucket)
+        try:
+            out = (self.predict(images) if group[0].mode is None
+                   else self.predict(images, group[0].mode))
+        except BaseException as exc:  # noqa: BLE001 — fan out to waiters
+            for item in group:
+                item.error = exc
+                item.event.set()
+            return
+        for k, item in enumerate(group):
+            item.result = {key: val[k:k + 1] for key, val in out.items()}
+            item.event.set()
+
+
+class CheckpointWatcher:
+    """Polls ``save_dir`` for a new best checkpoint and hot-swaps the
+    predictor's variables (TF-Serving's version-dir polling,
+    road_project/setup/serving.py:75-84, re-homed onto the orbax layout).
+    """
+
+    def __init__(self, predictor, save_dir: str, poll_s: float = 10.0,
+                 restore: Optional[Callable[[str], Dict]] = None):
+        self.predictor = predictor
+        self.save_dir = save_dir
+        self.poll_s = poll_s
+        self._restore = restore or self._default_restore
+        self.current: Optional[str] = None
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def _default_restore(self, ckpt_dir: str) -> Dict:
+        from ..train.checkpoints import CheckpointManager
+        return CheckpointManager(os.path.dirname(ckpt_dir),
+                                 None).restore_variables(ckpt_dir)
+
+    def check_once(self) -> bool:
+        """One poll; returns True if a new version was swapped in."""
+        import jax
+        from ..train.checkpoints import CheckpointManager
+        if not os.path.isdir(self.save_dir):
+            return False
+        best = CheckpointManager(self.save_dir, None).best_checkpoint()
+        if best is None or best == self.current:
+            return False
+        variables = self._restore(best)
+        # device_put BEFORE the swap: the flip itself is one reference
+        # assignment, so in-flight predicts never see a half-loaded tree
+        self.predictor.variables = jax.device_put(variables)
+        self.current = best
+        return True
+
+    def start(self):
+        def loop():
+            while not self._stop.wait(self.poll_s):
+                try:
+                    self.check_once()
+                except Exception:  # noqa: BLE001 — keep serving old version
+                    pass
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)

@@ -56,7 +56,7 @@ class MaskLabPredictor:
 
     # ---- pipeline builders ----
 
-    def _pipeline(self, in_hw: Tuple[int, int]):
+    def _pipeline(self, in_hw: Tuple[int, int], mode: str):
         cfg = self.config
         post = cfg.postprocess
         ds_hw = _downsampled_hw(in_hw, post.resolution)
@@ -74,7 +74,7 @@ class MaskLabPredictor:
             sem = resize_like(sem, down)
             boxes_up, masks_up, sem_up = upsample_output(
                 det_boxes, inst_masks, sem, ds_hw, in_hw)
-            if self.visualization:
+            if mode in ('visualize', 'summarize'):
                 # serving payload: annotated image + analytics only — the
                 # big mask tensors stay on device (host transfer through
                 # the accelerator link dominates serving latency otherwise).
@@ -84,6 +84,12 @@ class MaskLabPredictor:
                 summary, union = fused_summary_union(
                     boxes_up, sem_up, masks_up, in_hw,
                     len(post.instance_colors), post.default_road_size)
+                if mode == 'summarize':
+                    # analytics-only fetch (the TF-Serving client's choice
+                    # of outputs, serving.py:192-212): the [B,H,W] image
+                    # tensors never cross the device link — KBs per batch
+                    # instead of MBs
+                    return dict(det_boxes=boxes_up, summarize=summary)
                 vis = draw_boxes(images, boxes_up)
                 vis = draw_segmentation(vis, union, post.instance_colors,
                                         post.instance_alpha)
@@ -98,10 +104,11 @@ class MaskLabPredictor:
 
         return jax.jit(run)
 
-    def _get(self, in_hw: Tuple[int, int]):
-        if in_hw not in self._jitted:
-            self._jitted[in_hw] = self._pipeline(in_hw)
-        return self._jitted[in_hw]
+    def _get(self, in_hw: Tuple[int, int], mode: str):
+        key = (in_hw, mode)
+        if key not in self._jitted:
+            self._jitted[key] = self._pipeline(in_hw, mode)
+        return self._jitted[key]
 
     # ---- public API ----
 
@@ -114,21 +121,31 @@ class MaskLabPredictor:
             dummy = np.zeros((1, hw[0], hw[1], 3), np.uint8)
             self.predict(dummy)
 
-    def predict(self, images: np.ndarray) -> Dict[str, np.ndarray]:
-        """images: uint8 [H,W,3] or [B,H,W,3] RGB -> numpy outputs."""
+    def predict(self, images: np.ndarray,
+                mode: Optional[str] = None) -> Dict[str, np.ndarray]:
+        """images: uint8 [H,W,3] or [B,H,W,3] RGB -> numpy outputs.
+
+        ``mode``: 'visualize' (overlay + analytics), 'summarize'
+        (analytics only — image tensors never leave the device), or 'raw'
+        (boxes/masks/semantics). Defaults to the constructor's
+        ``visualization`` flag.
+        """
+        if mode is None:
+            mode = 'visualize' if self.visualization else 'raw'
         if images.ndim == 3:
             images = images[None]
         in_hw = (images.shape[1], images.shape[2])
-        out = self._get(in_hw)(self.variables, jnp.asarray(images))
+        out = self._get(in_hw, mode)(self.variables, jnp.asarray(images))
         return {k: np.asarray(v) for k, v in out.items()}
 
-    def predict_bytes(self, content: bytes) -> Dict[str, np.ndarray]:
+    def predict_bytes(self, content: bytes,
+                      mode: Optional[str] = None) -> Dict[str, np.ndarray]:
         """JPEG/PNG bytes -> outputs (host-side decode, device pipeline)."""
         import cv2
         arr = np.frombuffer(content, np.uint8)
         bgr = cv2.imdecode(arr, cv2.IMREAD_COLOR)
         rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-        return self.predict(rgb)
+        return self.predict(rgb, mode)
 
     @staticmethod
     def encode_jpeg(image_rgb: np.ndarray) -> bytes:

@@ -30,6 +30,8 @@ DEFAULT_PORT = 8501  # same REST port the reference's TF-Serving used
 
 class _Handler(BaseHTTPRequestHandler):
     predictor: MaskLabPredictor = None
+    batcher = None            # Optional[MicroBatcher]
+    watcher = None            # Optional[CheckpointWatcher]
     instance_labels = ()
 
     def log_message(self, fmt, *args):  # quiet
@@ -37,19 +39,48 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         if self.path == '/healthz':
-            self._respond(200, b'{"status": "ok"}')
+            info = {'status': 'ok'}
+            if self.watcher is not None:
+                info['model_version'] = self.watcher.current
+            self._respond(200, json.dumps(info).encode())
         else:
             self._respond(404, b'{"error": "not found"}')
 
     def do_POST(self):
-        if self.path != '/predict':
+        if self.path == '/reload':
+            # explicit version check (TF-Serving's poll, on demand)
+            if self.watcher is None:
+                self._respond(400, b'{"error": "no watch dir configured"}')
+                return
+            try:
+                swapped = self.watcher.check_once()
+            except Exception as exc:  # noqa: BLE001 — surface to client
+                self._respond(500, json.dumps({'error': str(exc)}).encode())
+                return
+            self._respond(200, json.dumps(
+                {'reloaded': swapped,
+                 'model_version': self.watcher.current}).encode())
+            return
+        path, _, query = self.path.partition('?')
+        if path != '/predict':
             self._respond(404, b'{"error": "not found"}')
             return
+        # output selection (the TF-Serving client chose its fetches;
+        # serving.py:192-212 parsed visualize+summarize — here a client
+        # that only needs analytics skips the JPEG encode round trip)
+        mode = 'summarize' if 'outputs=summarize' in query else 'visualize'
         length = int(self.headers.get('Content-Length', 0))
         content = self.rfile.read(length)
         started = time.time()
         try:
-            out = self.predictor.predict_bytes(content)
+            if self.batcher is not None:
+                import cv2
+                arr = np.frombuffer(content, np.uint8)
+                bgr = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+                rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+                out = self.batcher.submit(rgb, mode)
+            else:
+                out = self.predictor.predict_bytes(content, mode)
         except Exception as exc:  # noqa: BLE001 — surface to client
             self._respond(400, json.dumps(
                 {'error': str(exc)}).encode())
@@ -61,7 +92,7 @@ class _Handler(BaseHTTPRequestHandler):
         if 'visualize' in out:
             payload['visualize_jpeg_b64'] = base64.b64encode(
                 MaskLabPredictor.encode_jpeg(out['visualize'][0])).decode()
-        else:
+        elif 'summarize' not in out:
             payload['det_boxes'] = out['det_boxes'][0].tolist()
         self._respond(200, json.dumps(payload).encode())
 
@@ -75,9 +106,27 @@ class _Handler(BaseHTTPRequestHandler):
 
 class MaskLabServer:
     def __init__(self, predictor: MaskLabPredictor,
-                 port: int = DEFAULT_PORT, instance_labels=()):
+                 port: int = DEFAULT_PORT, instance_labels=(),
+                 max_batch: int = 8, window_ms: float = 4.0,
+                 watch_dir: Optional[str] = None,
+                 watch_poll_s: float = 10.0):
+        """``max_batch > 1`` turns on server-side micro-batching (the
+        TF-Serving batching-scheduler role); ``watch_dir`` turns on
+        checkpoint hot-reload (the version-dir polling role)."""
+        from .batching import CheckpointWatcher, MicroBatcher
+        self.batcher = (MicroBatcher(predictor.predict,
+                                     max_batch=max_batch,
+                                     window_ms=window_ms)
+                        if max_batch > 1 else None)
+        self.watcher = None
+        if watch_dir:
+            self.watcher = CheckpointWatcher(predictor, watch_dir,
+                                             poll_s=watch_poll_s)
+            self.watcher.start()
         handler = type('BoundHandler', (_Handler,), {
             'predictor': predictor,
+            'batcher': self.batcher,
+            'watcher': self.watcher,
             'instance_labels': tuple(instance_labels),
         })
         self.httpd = ThreadingHTTPServer(('0.0.0.0', port), handler)
@@ -94,6 +143,10 @@ class MaskLabServer:
 
     def stop(self):
         self.httpd.shutdown()
+        if self.batcher is not None:
+            self.batcher.close()
+        if self.watcher is not None:
+            self.watcher.stop()
 
 
 def send_image_to_server(image_path: str, host: str = 'localhost',

@@ -1,0 +1,175 @@
+"""Server-side micro-batching + checkpoint hot-reload (serving/batching.py
+— the TF-Serving batching-scheduler and version-polling roles,
+serving.py:42-109 / road_project/setup/serving.py:75-84)."""
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from masklab_tpu.serving.batching import (CheckpointWatcher, MicroBatcher,
+                                          _next_bucket)
+
+
+def _marked_image(i, hw=(8, 8)):
+    img = np.zeros(hw + (3,), np.uint8)
+    img[0, 0, 0] = i
+    return img
+
+
+def _fake_predict(calls):
+    def predict(images):
+        calls.append(images.shape[0])
+        # per-image marker so routing is checkable
+        return {'marker': images[:, 0, 0, 0].astype(np.int32),
+                'shape_h': np.full(images.shape[0], images.shape[1])}
+    return predict
+
+
+def test_next_bucket():
+    assert _next_bucket(1, (1, 2, 4, 8)) == 1
+    assert _next_bucket(3, (1, 2, 4, 8)) == 4
+    assert _next_bucket(8, (1, 2, 4, 8)) == 8
+    assert _next_bucket(11, (1, 2, 4, 8)) == 8
+
+
+def test_concurrent_submits_coalesce_and_route():
+    calls = []
+    mb = MicroBatcher(_fake_predict(calls), max_batch=8, window_ms=30.0)
+    try:
+        results = {}
+        barrier = threading.Barrier(8)
+
+        def worker(i):
+            barrier.wait()
+            results[i] = mb.submit(_marked_image(i))
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=10)
+        assert len(results) == 8
+        for i, out in results.items():
+            assert out['marker'].shape == (1,)
+            assert int(out['marker'][0]) == i
+        # 8 concurrent requests inside one window must not become 8
+        # device calls
+        assert len(calls) < 8
+        assert sum(calls) >= 8
+    finally:
+        mb.close()
+
+
+def test_batch_padded_to_bucket():
+    calls = []
+    mb = MicroBatcher(_fake_predict(calls), max_batch=8, window_ms=40.0)
+    try:
+        results = {}
+        barrier = threading.Barrier(3)
+
+        def worker(i):
+            barrier.wait()
+            results[i] = mb.submit(_marked_image(i))
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=10)
+        assert len(results) == 3
+        # 3 requests pad to the 4-bucket (compile-count bound); allow the
+        # scheduler to have split them across windows
+        assert all(b in (1, 2, 4) for b in mb.batch_sizes)
+    finally:
+        mb.close()
+
+
+def test_mixed_resolutions_never_share_a_batch():
+    calls = []
+    mb = MicroBatcher(_fake_predict(calls), max_batch=8, window_ms=30.0)
+    try:
+        results = {}
+        barrier = threading.Barrier(6)
+
+        def worker(i):
+            hw = (8, 8) if i % 2 == 0 else (16, 16)
+            barrier.wait()
+            results[i] = mb.submit(_marked_image(i, hw))
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=10)
+        for i, out in results.items():
+            want_h = 8 if i % 2 == 0 else 16
+            assert int(out['shape_h'][0]) == want_h
+    finally:
+        mb.close()
+
+
+def test_submit_propagates_predict_errors():
+    def boom(images):
+        raise RuntimeError('device on fire')
+
+    mb = MicroBatcher(boom, max_batch=4, window_ms=1.0)
+    try:
+        with pytest.raises(RuntimeError, match='device on fire'):
+            mb.submit(_marked_image(1))
+    finally:
+        mb.close()
+
+
+class _FakePredictor:
+    def __init__(self):
+        self.variables = {'params': np.float32(-1.0)}
+
+
+def test_checkpoint_watcher_swaps_best(tmp_path):
+    pred = _FakePredictor()
+    restored = []
+
+    def restore(path):
+        restored.append(path)
+        # leaf must be a jax-compatible type (device_put runs on it)
+        return {'params': np.float32(float(
+            os.path.basename(path).split('-')[0]))}
+
+    w = CheckpointWatcher(pred, str(tmp_path), restore=restore)
+    assert not w.check_once()                      # empty dir
+    os.makedirs(tmp_path / '1.50000-00')
+    assert w.check_once()
+    assert float(pred.variables['params']) == 1.5
+    assert not w.check_once()                      # unchanged
+    os.makedirs(tmp_path / '0.70000-01')           # better loss appears
+    assert w.check_once()
+    assert float(pred.variables['params']) == pytest.approx(0.7)
+    assert w.current.endswith('0.70000-01')
+    # a WORSE checkpoint must not displace the current best
+    os.makedirs(tmp_path / '2.00000-02')
+    assert not w.check_once()
+    assert float(pred.variables['params']) == pytest.approx(0.7)
+
+
+def test_checkpoint_watcher_thread_polls(tmp_path):
+    pred = _FakePredictor()
+    w = CheckpointWatcher(
+        pred, str(tmp_path), poll_s=0.05,
+        restore=lambda p: {'params': np.float32(float(
+            os.path.basename(p).split('-')[0]))})
+    w.start()
+    try:
+        os.makedirs(tmp_path / '0.90000-00')
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            if float(pred.variables['params']) == pytest.approx(0.9):
+                break
+            time.sleep(0.05)
+        assert float(pred.variables['params']) == pytest.approx(0.9)
+    finally:
+        w.stop()
