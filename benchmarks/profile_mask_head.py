@@ -127,9 +127,103 @@ def main():
             m = (v * keep[None, None, None, :, None]).reshape(m.shape)
         return m
 
+    # boundary-decomposed flat-band GN: identical math to the ragged
+    # GroupNorm path but with NO [N, G, L] relayout. Band sums come from
+    # per-pixel row sums + a cumsum + 16 static partial-channel
+    # corrections at the band boundaries; normalize/affine select between
+    # the (at most two) bands a pixel spans, all elementwise in native
+    # NHWC layout.
+    G = 16
+    Q = HW * HW                      # pixels per crop
+    L = Q * C // G                   # band length (3136)
+    q_idx = np.arange(Q)
+    g0 = (q_idx * C) // L                        # band of channel 0
+    cstar = np.clip(L * (g0 + 1) - C * q_idx, 0, C)   # boundary channel
+    qk = (np.arange(G) * L) // C                 # split pixel per band k
+    rk = (np.arange(G) * L) % C                  # channels below boundary
+    sel_hi = jnp.asarray(np.arange(C)[None, :] >= cstar[:, None])  # [Q,C]
+    part_mask = jnp.asarray(np.arange(C)[None, :] < rk[:, None],
+                            jnp.float32)         # [G, C]
+    g0_j = jnp.asarray(g0)
+    g1_j = jnp.asarray(np.minimum(g0 + 1, G - 1))
+    qk_j = jnp.asarray(qk)
+
+    def bd_gn(h, i):
+        f = h.reshape(N, Q, C).astype(jnp.float32)
+        f2 = jnp.square(f)
+        P = jnp.sum(f, axis=-1)                  # [N, Q]
+        P2 = jnp.sum(f2, axis=-1)
+        cum = jnp.cumsum(P, axis=-1)             # S over whole pixels
+        cum2 = jnp.cumsum(P2, axis=-1)
+        rows = f[:, qk_j, :]                      # [N, G, C] static gather
+        rows2 = f2[:, qk_j, :]
+        part = jnp.sum(rows * part_mask[None], axis=-1)    # [N, G]
+        part2 = jnp.sum(rows2 * part_mask[None], axis=-1)
+        whole = jnp.where(qk_j > 0, cum[:, qk_j - 1], 0.0)
+        whole2 = jnp.where(qk_j > 0, cum2[:, qk_j - 1], 0.0)
+        S = jnp.concatenate([whole + part, cum[:, -1:]], axis=-1)  # [N,G+1]
+        S2 = jnp.concatenate([whole2 + part2, cum2[:, -1:]], axis=-1)
+        m1 = (S[:, 1:] - S[:, :-1]) / L           # [N, G]
+        m2 = (S2[:, 1:] - S2[:, :-1]) / L
+        inv = jax.lax.rsqrt(jnp.maximum(m2 - jnp.square(m1), 0.0) + 1e-5)
+        m_lo, m_hi = m1[:, g0_j], m1[:, g1_j]     # [N, Q]
+        i_lo, i_hi = inv[:, g0_j], inv[:, g1_j]
+        m_e = jnp.where(sel_hi[None], m_hi[:, :, None], m_lo[:, :, None])
+        i_e = jnp.where(sel_hi[None], i_hi[:, :, None], i_lo[:, :, None])
+        # affine: scale[band*cg + c % cg]; cg | C so c % cg is per-channel
+        cg = C // G
+        s_tab = scales[i].reshape(G, cg)          # [G, cg]
+        b_tab = biases[i].reshape(G, cg)
+        s_lo = s_tab[g0_j][:, np.tile(np.arange(cg), C // cg)]   # [Q, C]
+        s_hi = s_tab[g1_j][:, np.tile(np.arange(cg), C // cg)]
+        b_lo = b_tab[g0_j][:, np.tile(np.arange(cg), C // cg)]
+        b_hi = b_tab[g1_j][:, np.tile(np.arange(cg), C // cg)]
+        s_e = jnp.where(sel_hi, s_hi, s_lo)
+        b_e = jnp.where(sel_hi, b_hi, b_lo)
+        y = ((h.reshape(N, Q, C) - m_e.astype(h.dtype))
+             * i_e.astype(h.dtype) * s_e.astype(h.dtype)
+             + b_e.astype(h.dtype))
+        return y.reshape(h.shape)
+
+    def stack_bdgn(h):
+        for i in range(DEPTH):
+            h = nn.relu(conv(h, kernels[i]))
+            h = bd_gn(h, i)
+        return h
+
+    from masklab_tpu.ops.pallas.groupnorm_kernel import band_groupnorm_pallas
+    BN = int(os.environ.get('PGN_BLOCK', '8'))
+
+    def stack_pgn(h):
+        for i in range(DEPTH):
+            h = nn.relu(conv(h, kernels[i]))
+            y = band_groupnorm_pallas(h.reshape(N, Q, C),
+                                      scales[i], biases[i], G, block_n=BN)
+            h = y.reshape(h.shape)
+        return h
+
+    def stack_pgn_relu(h):
+        # relu fused INTO the GN kernel — conv output goes straight in
+        for i in range(DEPTH):
+            h = conv(h, kernels[i])
+            y = band_groupnorm_pallas(h.reshape(N, Q, C),
+                                      scales[i], biases[i], G, block_n=BN,
+                                      fuse_relu=True)
+            h = y.reshape(h.shape)
+        return h
+
+    def pgn_only(h):
+        for i in range(DEPTH):
+            h = band_groupnorm_pallas(h.reshape(N, Q, C),
+                                      scales[i], biases[i], G,
+                                      block_n=BN).reshape(h.shape)
+        return h
+
     variants = {
         'stack': stack, 'stack_se': stack_se, 'conv_only': conv_only,
         'gn_only': gn_only, 'gemm_conv': gemm_conv, 'mosaic': mosaic,
+        'stack_bdgn': stack_bdgn, 'stack_pgn': stack_pgn,
+        'stack_pgn_relu': stack_pgn_relu, 'pgn_only': pgn_only,
     }
     only = os.environ.get('VARIANTS')
     if only:

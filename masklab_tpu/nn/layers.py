@@ -88,8 +88,17 @@ class GroupNorm(nn.Module):
                  + table_b[None, :, None, :].astype(x.dtype))
             return y.reshape(shape).astype(self.dtype)
         # ragged maps (G does not divide H*W — e.g. the 14x14 mask-head
-        # crops): flat-band fallback, identical math. The affine is
-        # applied as a periodic [G, L] table along the flat band — the
+        # crops): on TPU, a fused Pallas kernel (one HBM pass, band sums
+        # by boundary decomposition — ops/pallas/groupnorm_kernel.py;
+        # 1.2 -> 0.6 ms per GN at the dense mask-head shape, and the
+        # custom_vjp backward reuses the same relayout-free math).
+        if (jax.devices()[0].platform == 'tpu' and groups <= spatial):
+            from ..ops.pallas.groupnorm_kernel import band_groupnorm
+            y = band_groupnorm(x.reshape(shape[0], spatial, c),
+                               scale, bias, groups)
+            return y.reshape(shape).astype(self.dtype)
+        # off-TPU fallback: flat-band reshape, identical math. The affine
+        # is applied as a periodic [G, L] table along the flat band — the
         # earlier [B, G, H, W, C/G] reshape put C/G=8 on the minor axis,
         # which lane-pads 16x (a 20 MB mask-head temp cost 378 MB and
         # OOMed the training step across capacity buckets). A fancier
