@@ -129,7 +129,11 @@ class MaskLabServer:
             'watcher': self.watcher,
             'instance_labels': tuple(instance_labels),
         })
-        self.httpd = ThreadingHTTPServer(('0.0.0.0', port), handler)
+        # default listen backlog (5) resets connections under the
+        # concurrent load micro-batching exists to absorb
+        server_cls = type('MaskLabHTTPServer', (ThreadingHTTPServer,),
+                          {'request_queue_size': 128})
+        self.httpd = server_cls(('0.0.0.0', port), handler)
         self.port = port
         self.thread: Optional[threading.Thread] = None
 
