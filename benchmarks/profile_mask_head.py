@@ -23,7 +23,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N = int(os.environ.get('N_CROPS', '800'))
-C = 256
+C = int(os.environ.get('C_FEAT', '256'))
 HW = 14
 DEPTH = 4
 

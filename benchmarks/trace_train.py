@@ -1,0 +1,65 @@
+"""Device-trace the BASELINE config-5 train step (resnext50 b4 @256px)
+and report the top ops by device time — the train-step analog of
+trace_model.py (wall clocks lie on this platform)."""
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    import jax.numpy as jnp
+    from masklab_tpu import ModelConfiguration
+    from masklab_tpu.data.synthetic import make_random_batch
+    from masklab_tpu.models import build_masklab
+    from masklab_tpu.train import (TrainState, cyclic_lr, make_train_step,
+                                   rectified_adam)
+
+    cfg = ModelConfiguration()
+    cfg.backbone.backbone_type = os.environ.get('BENCH_BACKBONE', 'resnext50')
+    cfg.compute.compute_dtype = 'bfloat16'
+    model = build_masklab(cfg)
+    batch_size = int(os.environ.get('BENCH_BATCH', '4'))
+    size = int(os.environ.get('BENCH_SIZE', '256'))
+    batch = {k: jnp.asarray(v)
+             for k, v in make_random_batch(batch_size, (size, size),
+                                           8).items()}
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    batch['images'][:1])
+    state = TrainState.create(variables,
+                              rectified_adam(cyclic_lr(1e-4, 1e-3, 700)))
+    step = make_train_step(model, with_metrics=False)
+    state, m = step(state, batch)
+    jax.block_until_ready(m['loss'])
+
+    trace_dir = '/tmp/train_trace'
+    os.system(f'rm -rf {trace_dir}')
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(5):
+        state, m = step(state, batch)
+    jax.block_until_ready(m['loss'])
+    jax.profiler.stop_trace()
+
+    f = sorted(glob.glob(f'{trace_dir}/**/*.trace.json.gz',
+                         recursive=True))[-1]
+    with gzip.open(f) as fh:
+        d = json.load(fh)
+    tot = collections.Counter()
+    cnt = collections.Counter()
+    for e in d.get('traceEvents', []):
+        if e.get('ph') == 'X':
+            tot[e['name']] += e.get('dur', 0)
+            cnt[e['name']] += 1
+    for k, v in tot.most_common(35):
+        print(f'{v/1000:10.3f} ms total {cnt[k]:4d}x  {k[:110]}')
+
+
+if __name__ == '__main__':
+    main()

@@ -88,11 +88,19 @@ class GroupNorm(nn.Module):
                  + table_b[None, :, None, :].astype(x.dtype))
             return y.reshape(shape).astype(self.dtype)
         # ragged maps (G does not divide H*W — e.g. the 14x14 mask-head
-        # crops): on TPU, a fused Pallas kernel (one HBM pass, band sums
-        # by boundary decomposition — ops/pallas/groupnorm_kernel.py;
-        # 1.2 -> 0.6 ms per GN at the dense mask-head shape, and the
-        # custom_vjp backward reuses the same relayout-free math).
-        if (jax.devices()[0].platform == 'tpu' and groups <= spatial):
+        # crops): on TPU with WIDE channels, a fused Pallas kernel (one
+        # HBM pass, band sums by boundary decomposition —
+        # ops/pallas/groupnorm_kernel.py; custom_vjp backward reuses the
+        # same relayout-free math). Measured crossover: at C=256 the
+        # kernel wins 2x standalone and 1.6x in the conv stack (the XLA
+        # [N, G, L] relayout is catastrophic there); at C=128 XLA's
+        # fused ragged path is already ~memory-bound and the kernel's
+        # VPU-bound inner loop LOSES ~5% end-to-end (bench A/B
+        # 587.6 -> 560.4 dense, round-3 log) — so only route C >= 256.
+        import os
+        if (jax.devices()[0].platform == 'tpu' and groups <= spatial
+                and c >= 256
+                and not os.environ.get('MASKLAB_NO_PALLAS_GN')):
             from ..ops.pallas.groupnorm_kernel import band_groupnorm
             y = band_groupnorm(x.reshape(shape[0], spatial, c),
                                scale, bias, groups)

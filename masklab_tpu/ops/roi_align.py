@@ -54,6 +54,13 @@ def crop_and_resize(fmap: jnp.ndarray, boxes_yxyx: jnp.ndarray,
     boxes_yxyx = boxes_yxyx.astype(jnp.float32)
     wy = _sample_weights(boxes_yxyx[:, 0], boxes_yxyx[:, 2], ch, h)
     wx = _sample_weights(boxes_yxyx[:, 1], boxes_yxyx[:, 3], cw, w)
+    if fmap.dtype == jnp.bfloat16:
+        # bf16 compute mode: interpolate in the feature dtype at default
+        # precision — the f32/HIGHEST matmuls cost 3.03 ms vs 1.32 ms at
+        # the dense level-0 shape (benchmarks/profile_mask_branch.py) and
+        # the surrounding head already computes in bf16
+        rows = jnp.einsum('kih,hwc->kiwc', wy.astype(jnp.bfloat16), fmap)
+        return jnp.einsum('kjw,kiwc->kijc', wx.astype(jnp.bfloat16), rows)
     fmap = fmap.astype(jnp.float32)
     hi = jax.lax.Precision.HIGHEST
     rows = jnp.einsum('kih,hwc->kiwc', wy, fmap, precision=hi)
