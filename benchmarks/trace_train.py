@@ -25,6 +25,8 @@ def main():
     cfg = ModelConfiguration()
     cfg.backbone.backbone_type = os.environ.get('BENCH_BACKBONE', 'resnext50')
     cfg.compute.compute_dtype = 'bfloat16'
+    if os.environ.get('BENCH_COMPACT') == '0':
+        cfg.compute.mask_compaction = False
     model = build_masklab(cfg)
     batch_size = int(os.environ.get('BENCH_BATCH', '4'))
     size = int(os.environ.get('BENCH_SIZE', '256'))

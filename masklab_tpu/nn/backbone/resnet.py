@@ -46,8 +46,9 @@ unfreeze driver and the keras-h5 importer can address them by name.
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -185,6 +186,54 @@ class BasicBlock(nn.Module):
         return nn.relu(y + shortcut)
 
 
+class _BlockDiagGroupedConv(nn.Module):
+    """Grouped 3x3 conv computed as a dense conv with a block-diagonal
+    kernel.
+
+    XLA's TPU backward for ``feature_group_count=32`` (4-channel groups)
+    runs 21x slower than the equivalent dense conv — the 4-wide group
+    matmuls waste 97% of the 128-lane MXU (1.391 vs 0.065 ms/call at the
+    resnext50 stage-2 train shape, round-3 microbench). Expanding the
+    grouped kernel into a dense [kh, kw, C_in, C_out] kernel whose
+    cross-group entries are exact zeros computes the identical function
+    (zeros contribute exactly zero in bf16 and f32) with exact gradients
+    (the mask zeroes cross-group grads), at full MXU utilization.
+
+    The parameter keeps the grouped shape [kh, kw, C_in/G, C_out] and the
+    flax ``Conv`` naming, so checkpoints and keras-h5 transplant
+    (utils/keras_import.py) are unchanged. Note XLA's FLOP counter sees
+    the dense conv, overstating algorithmic FLOPs for these layers G-fold.
+    """
+    features: int
+    groups: int
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = 'SAME'
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        cg = c_in // self.groups
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (3, 3, cg, self.features), jnp.float32)
+        out_group = jnp.arange(self.features) // (self.features
+                                                  // self.groups)
+        mask = (jnp.arange(self.groups)[:, None]
+                == out_group[None, :]).astype(kernel.dtype)     # [G, out]
+        dense = (kernel[:, :, None, :, :]
+                 * mask[None, None, :, None, :]).reshape(
+                     3, 3, c_in, self.features)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), dense.astype(self.dtype), self.strides,
+            self.padding, dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        if self.use_bias:
+            bias = self.param('bias', nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class BottleneckBlock(nn.Module):
     """1x1 -> 3x3 (optionally grouped) -> 1x1 post-activation bottleneck.
 
@@ -211,23 +260,31 @@ class BottleneckBlock(nn.Module):
         s1 = (self.stride,) * 2 if self.stride_first else (1, 1)
         s3 = (1, 1) if self.stride_first else (self.stride,) * 2
         y = nn.Conv(self.filters, (1, 1), strides=s1,
-                    use_bias=self.conv_bias, dtype=self.dtype)(x)
+                    use_bias=self.conv_bias, dtype=self.dtype,
+                    name='Conv_0')(x)
         y = _BN(self.dtype, eps=self.bn_eps)(y, train)
         y = nn.relu(y)
         relu1 = y  # seresnext50's C2-C4 taps sit here (base.py:139-145)
-        y = nn.Conv(self.filters, (3, 3), strides=s3, padding=_PAD1,
-                    feature_group_count=self.groups,
-                    use_bias=self.conv_bias, dtype=self.dtype)(y)
+        if self.groups > 1:
+            y = _BlockDiagGroupedConv(self.filters, self.groups,
+                                      strides=s3, padding=_PAD1,
+                                      use_bias=self.conv_bias,
+                                      dtype=self.dtype, name='Conv_1')(y)
+        else:
+            y = nn.Conv(self.filters, (3, 3), strides=s3, padding=_PAD1,
+                        use_bias=self.conv_bias, dtype=self.dtype,
+                        name='Conv_1')(y)
         y = _BN(self.dtype, eps=self.bn_eps)(y, train)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=self.conv_bias,
-                    dtype=self.dtype)(y)
+                    dtype=self.dtype, name='Conv_2')(y)
         y = _BN(self.dtype, eps=self.bn_eps)(y, train)
         if self.use_se:
             y = _SE(dtype=self.dtype)(y)
         if shortcut.shape[-1] != out_ch or self.stride != 1:
             shortcut = nn.Conv(out_ch, (1, 1), strides=(self.stride,) * 2,
-                               use_bias=self.conv_bias, dtype=self.dtype)(x)
+                               use_bias=self.conv_bias, dtype=self.dtype,
+                               name='Conv_3')(x)
             shortcut = _BN(self.dtype, eps=self.bn_eps)(shortcut, train)
         return nn.relu(y + shortcut), relu1
 
