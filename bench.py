@@ -12,6 +12,13 @@ unless BENCH_CKPT points at a trained checkpoint the classification output
 biases are forced positive ("forced-dense", labeled in extra.regime).
 The sparse regime (empty mask branch best case) is reported alongside, and
 MFU is computed from XLA's own compiled-module FLOP count.
+
+extra.road_preset benches the production road configuration (seresnet34 +
+SE heads + 5 anchor ratios, presets.py — the config the reference actually
+deploys, road_project/train.py:21-63) at batch 8.
+extra.train_step benches one optimizer step (BASELINE.md config 5:
+resnext50 joint trainer, batch 4 @ 256 px) in ms/step with its own MFU.
+Set BENCH_SKIP_EXTRAS=1 to run the headline only.
 """
 import json
 import os
@@ -67,6 +74,89 @@ def _timeit(fn, variables, images, iters):
     return time.perf_counter() - start
 
 
+def _xla_flops(compiled) -> float:
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca.get('flops', 0.0))
+
+
+def _bench_inference(cfg, batch, size, iters):
+    """(dense_fps, sparse_fps, mfu_pct, flops, p50_ms) for one config."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from masklab_tpu.models import build_masklab
+
+    model = build_masklab(cfg)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, size, size, 3) * 255, jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images[:1])
+    dense_variables = _force_dense(variables)
+    forward = jax.jit(lambda v, x: model.apply(v, x))
+
+    dense_s = _timeit(forward, dense_variables, images, iters)
+    dense_fps = batch * iters / dense_s
+    sparse_s = _timeit(forward, variables, images, iters)
+    sparse_fps = batch * iters / sparse_s
+
+    mfu_pct = None
+    flops = None
+    try:
+        compiled = forward.lower(dense_variables, images).compile()
+        flops = _xla_flops(compiled)
+        if flops > 0:
+            achieved = flops / (dense_s / iters)
+            mfu_pct = 100.0 * achieved / _peak_flops(jax.devices()[0])
+    except Exception:
+        pass
+    return (dense_fps, sparse_fps, mfu_pct, flops,
+            dense_s / iters * 1000.0)
+
+
+def _bench_train_step(iters=10):
+    """BASELINE config 5: resnext50 joint train step, batch 4 @ 256 px."""
+    import jax
+    import jax.numpy as jnp
+    from masklab_tpu import ModelConfiguration
+    from masklab_tpu.data.synthetic import make_random_batch
+    from masklab_tpu.models import build_masklab
+    from masklab_tpu.train import (TrainState, cyclic_lr, make_train_step,
+                                   rectified_adam)
+
+    cfg = ModelConfiguration()
+    cfg.backbone.backbone_type = 'resnext50'
+    cfg.compute.compute_dtype = 'bfloat16'
+    model = build_masklab(cfg)
+    batch = {k: jnp.asarray(v)
+             for k, v in make_random_batch(4, (256, 256), 8).items()}
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    batch['images'][:1])
+    state = TrainState.create(variables,
+                              rectified_adam(cyclic_lr(1e-4, 1e-3, 700)))
+    step = make_train_step(model, with_metrics=False)
+    state, _ = step(state, batch)          # warmup / compile
+    jax.block_until_ready(state.params)
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    jax.block_until_ready(m['loss'])
+    step_ms = (time.perf_counter() - start) / iters * 1000.0
+
+    mfu_pct = None
+    flops = None
+    try:
+        # donated buffers: lower on a fresh state for analysis only
+        compiled = step.lower(state, batch).compile()
+        flops = _xla_flops(compiled)
+        if flops > 0:
+            mfu_pct = (100.0 * flops / (step_ms / 1000.0)
+                       / _peak_flops(jax.devices()[0]))
+    except Exception:
+        pass
+    return step_ms, mfu_pct, flops
+
+
 def main():
     import jax
     # persistent compilation cache: TPU compiles go through a remote service
@@ -88,19 +178,18 @@ def main():
     if os.environ.get('BENCH_CANDIDATES'):
         cfg.compute.nms_candidates_per_class = \
             int(os.environ['BENCH_CANDIDATES'])
-    model = build_masklab(cfg)
 
     # batch 16: best measured throughput (585 dense / 1119 sparse vs
     # 548/900 at batch 8) with p50 batch latency ~27 ms — still inside
     # the 33 ms real-time budget per frame
     batch = int(os.environ.get('BENCH_BATCH', '16'))
     size = int(os.environ.get('BENCH_SIZE', '512'))
-    rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.rand(batch, size, size, 3) * 255, jnp.float32)
+    iters = int(os.environ.get('BENCH_ITERS', '20'))
 
     ckpt_dir = os.environ.get('BENCH_CKPT', '')
     if ckpt_dir and os.path.isdir(ckpt_dir):
         from masklab_tpu.train.checkpoints import CheckpointManager
+        model = build_masklab(cfg)
         ckpt = CheckpointManager(ckpt_dir, None)
         saved = ckpt.load_config()
         if saved is not None:
@@ -111,56 +200,61 @@ def main():
         # device_put every timed call re-uploads the whole parameter tree
         # through the (tunneled) host link
         variables = jax.device_put(ckpt.restore_variables())
-        dense_variables = variables
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.rand(batch, size, size, 3) * 255,
+                             jnp.float32)
+        forward = jax.jit(lambda v, x: model.apply(v, x))
+        dense_s = _timeit(forward, variables, images, iters)
+        dense_fps = batch * iters / dense_s
+        sparse_fps = dense_fps
+        mfu_pct = flops = None
+        p50 = dense_s / iters * 1000.0
         regime = f'trained_checkpoint:{ckpt_dir}'
     else:
-        variables = jax.jit(model.init)(jax.random.PRNGKey(0), images[:1])
-        dense_variables = _force_dense(variables)
+        dense_fps, sparse_fps, mfu_pct, flops, p50 = _bench_inference(
+            cfg, batch, size, iters)
         regime = 'forced_dense'
 
-    forward = jax.jit(lambda v, x: model.apply(v, x))
-    iters = int(os.environ.get('BENCH_ITERS', '20'))
+    extra = {
+        'regime': regime,
+        'dense_fps': round(dense_fps, 2),
+        'sparse_fps': round(sparse_fps, 2),
+        'mfu_pct': round(mfu_pct, 2) if mfu_pct is not None else None,
+        'xla_flops_per_batch': flops,
+        'batch': batch,
+        'p50_batch_latency_ms': round(p50, 2),
+        'backbone': cfg.backbone.backbone_type,
+        'dtype': cfg.compute.compute_dtype,
+        'mask_compaction': cfg.compute.mask_compaction,
+        'device': str(jax.devices()[0]),
+    }
 
-    # dense regime: the headline (what a trained model costs)
-    dense_s = _timeit(forward, dense_variables, images, iters)
-    dense_fps = batch * iters / dense_s
-    # sparse regime: random-init empty mask branch (level-skip best case)
-    sparse_s = _timeit(forward, variables, images, iters)
-    sparse_fps = batch * iters / sparse_s
-
-    # MFU from XLA's own FLOP count for the compiled module
-    mfu_pct = None
-    flops = None
-    try:
-        compiled = forward.lower(dense_variables, images).compile()
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get('flops', 0.0))
-        if flops > 0:
-            achieved = flops / (dense_s / iters)
-            mfu_pct = 100.0 * achieved / _peak_flops(jax.devices()[0])
-    except Exception:
-        pass
+    if not os.environ.get('BENCH_SKIP_EXTRAS') and not ckpt_dir:
+        from masklab_tpu.presets import road_project_config
+        rcfg = road_project_config()
+        rcfg.compute.compute_dtype = cfg.compute.compute_dtype
+        rcfg.compute.mesh_data = 1    # single-chip bench
+        rd, rs, rm, rf, rp = _bench_inference(rcfg, 8, size, iters)
+        extra['road_preset'] = {
+            'dense_fps': round(rd, 2), 'sparse_fps': round(rs, 2),
+            'mfu_pct': round(rm, 2) if rm is not None else None,
+            'batch': 8, 'p50_batch_latency_ms': round(rp, 2),
+            'backbone': 'seresnet34+se_heads',
+        }
+        ts_ms, ts_mfu, ts_flops = _bench_train_step()
+        extra['train_step'] = {
+            'step_ms': round(ts_ms, 2),
+            'mfu_pct': round(ts_mfu, 2) if ts_mfu is not None else None,
+            'xla_flops_per_step': ts_flops,
+            'config': 'resnext50 b4@256 joint trainer (BASELINE cfg 5)',
+        }
 
     result = {
         'metric': f'masklab_joint_inference_images_per_sec_{size}px',
         'value': round(dense_fps, 2),
         'unit': 'images/sec/chip',
         'vs_baseline': round(dense_fps / BASELINE_FPS, 3),
-        'extra': {
-            'regime': regime,
-            'dense_fps': round(dense_fps, 2),
-            'sparse_fps': round(sparse_fps, 2),
-            'mfu_pct': round(mfu_pct, 2) if mfu_pct is not None else None,
-            'xla_flops_per_batch': flops,
-            'batch': batch,
-            'p50_batch_latency_ms': round(dense_s / iters * 1000.0, 2),
-            'backbone': cfg.backbone.backbone_type,
-            'dtype': cfg.compute.compute_dtype,
-            'mask_compaction': cfg.compute.mask_compaction,
-            'device': str(jax.devices()[0]),
-        },
+        'extra': extra,
     }
     print(json.dumps(result))
 
