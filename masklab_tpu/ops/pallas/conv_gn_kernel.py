@@ -1,0 +1,203 @@
+"""Pallas TPU kernel: fused conv3x3 + bias + relu + flat-band GroupNorm.
+
+The mask-head depth stack (HeadBlock on 14x14 RoI crops) spends more
+time moving activations than computing them: each layer writes the conv
+output to HBM, reads it back for GroupNorm's band statistics, and reads
+it again to normalize — and on ragged spatial sizes the [N, G, L] band
+reshape is a physical relayout on top (benchmarks/profile_mask_head.py:
+convs alone 98% MXU, the stack 3-7x slower than its conv floor).
+
+This kernel runs one whole layer per VMEM residency: the 3x3 conv as an
+im2col dot (static shifted windows -> [TN, h, w, 9, C] patches
+contracted with the [9, C, C] kernel on the MXU), bias + relu in
+registers, then the exact flat-band GroupNorm via the boundary
+decomposition of groupnorm_kernel.py generalized to 2-D spatial tables.
+One HBM read, one write per layer.
+
+Gradients: ``fused_conv_gn`` is a custom_vjp whose backward recomputes
+through the equivalent pure-XLA composition — bit-exact math, standard
+autodiff; the fusion targets the inference hot path (the train step's
+cost is elsewhere, see docs/PERFORMANCE.md round 3).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .groupnorm_kernel import band_geometry
+
+
+def _geometry_2d(h: int, w: int, c: int, groups: int):
+    """Band geometry tables shaped for [h, w, C] maps (no flat reshape)."""
+    lowmask, a0, a1, g0, g1 = band_geometry(h * w, c, groups)
+    return (lowmask.reshape(h, w, c), a0.reshape(h, w, groups),
+            a1.reshape(h, w, groups), g0, g1)
+
+
+def _affine_2d(scale, bias, h, w, c, groups, g0, g1, lowmask_2d):
+    cg = c // groups
+    tab_s = scale.reshape(groups, cg)
+    tab_b = bias.reshape(groups, cg)
+    phase = np.tile(np.arange(cg), c // cg)
+    low = jnp.asarray(lowmask_2d, bool)
+    s_e = jnp.where(low, tab_s[g0][:, phase].reshape(h, w, c),
+                    tab_s[g1][:, phase].reshape(h, w, c))
+    b_e = jnp.where(low, tab_b[g0][:, phase].reshape(h, w, c),
+                    tab_b[g1][:, phase].reshape(h, w, c))
+    return s_e, b_e
+
+
+def _kernel(x_ref, w_ref, cb_ref, low_ref, a0_ref, a1_ref, s_ref, b_ref,
+            out_ref, *, h: int, w: int, length: int, eps: float,
+            out_dtype):
+    x = x_ref[...]                                    # [TN, h, w, C]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    windows = [xp[:, dy:dy + h, dx:dx + w, :]
+               for dy in range(3) for dx in range(3)]
+    patches = jnp.concatenate([v[..., None, :] for v in windows],
+                              axis=3)                 # [TN, h, w, 9, C]
+    y = jax.lax.dot_general(
+        patches, w_ref[...],
+        (((3, 4), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32)           # [TN, h, w, C] f32
+    y = jnp.maximum(y + cb_ref[...][None, None, None, :], 0.0)
+
+    low = low_ref[...]                                # [h, w, C]
+    a0 = a0_ref[...]                                  # [h, w, G]
+    a1 = a1_ref[...]
+    y2 = y * y
+    dn = (((1, 2), (0, 1)), ((), ()))                 # contract (h, w)
+
+    def mm(t, a):
+        return jax.lax.dot_general(t, a, dn,
+                                   preferred_element_type=jnp.float32)
+
+    u = jnp.sum(y * low[None], axis=3)                # [TN, h, w]
+    p = jnp.sum(y, axis=3)
+    u2 = jnp.sum(y2 * low[None], axis=3)
+    p2 = jnp.sum(y2, axis=3)
+    bs = mm(u, a0) + mm(p - u, a1)                    # [TN, G]
+    bs2 = mm(u2, a0) + mm(p2 - u2, a1)
+    m1 = bs / length
+    m2 = bs2 / length
+    inv = jax.lax.rsqrt(jnp.maximum(m2 - m1 * m1, 0.0) + eps)
+
+    def back(vals, a):
+        # [TN, G] x [h, w, G] -> [TN, h, w]
+        return jax.lax.dot_general(
+            vals, a, (((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    m_lo, m_hi = back(m1, a0), back(m1, a1)
+    i_lo, i_hi = back(inv, a0), back(inv, a1)
+    lowb = low[None] > 0.0
+    m_e = jnp.where(lowb, m_lo[..., None], m_hi[..., None])
+    i_e = jnp.where(lowb, i_lo[..., None], i_hi[..., None])
+    out = (y - m_e) * i_e * s_ref[...][None] + b_ref[...][None]
+    out_ref[...] = out.astype(out_dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('groups', 'eps', 'block_n', 'interpret'))
+def conv_gn_pallas(x: jnp.ndarray, kernel: jnp.ndarray, conv_bias,
+                   scale: jnp.ndarray, bias: jnp.ndarray, groups: int = 16,
+                   eps: float = 1e-5, block_n: int = 8,
+                   interpret: bool = False) -> jnp.ndarray:
+    """bandGN(relu(conv3x3_SAME(x) + conv_bias)) over [N, h, w, C_in].
+
+    kernel [3, 3, C_in, C_out]; requires groups <= h*w and
+    C_out % groups == 0. Spatial must be small enough that the
+    [TN, h, w, 9, C] patch tensor fits VMEM (RoI-crop sizes).
+    """
+    n, h, w, c_in = x.shape
+    c = kernel.shape[-1]
+    lowmask, a0, a1, g0, g1 = _geometry_2d(h, w, c, groups)
+    s_e, b_e = _affine_2d(scale.astype(jnp.float32),
+                          bias.astype(jnp.float32), h, w, c, groups, g0,
+                          g1, lowmask)
+    w9 = kernel.reshape(9, c_in, c).astype(x.dtype)
+    cb = (jnp.zeros((c,), jnp.float32) if conv_bias is None
+          else conv_bias.astype(jnp.float32))
+    pad = (-n) % block_n
+    xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0), (0, 0))) if pad else x
+    grid = (xp.shape[0] // block_n,)
+    c3 = lambda i: (0, 0, 0)   # noqa: E731
+    c1 = lambda i: (0,)        # noqa: E731
+    out = pl.pallas_call(
+        functools.partial(_kernel, h=h, w=w, length=h * w * c // groups,
+                          eps=eps, out_dtype=x.dtype),
+        out_shape=jax.ShapeDtypeStruct((xp.shape[0], h, w, c), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_n, h, w, c_in), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, c_in, c), c3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), c1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, w, c), c3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, w, groups), c3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, w, groups), c3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, w, c), c3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, w, c), c3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_n, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xp, w9, cb, jnp.asarray(lowmask), jnp.asarray(a0), jnp.asarray(a1),
+      s_e, b_e)
+    return out[:n] if pad else out
+
+
+def _xla_reference(x, kernel, conv_bias, scale, bias, groups, eps):
+    """The exact pure-XLA composition the kernel fuses (for the vjp):
+    conv3x3 + bias + relu + flat-band GroupNorm (ragged path math of
+    nn/layers.py GroupNorm, f32 statistics)."""
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1), 'SAME',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    y = jnp.maximum(y + conv_bias.astype(y.dtype), 0.0)
+    n, h, w, c = y.shape
+    cg = c // groups
+    flat = y.reshape(n, groups, -1)
+    f32 = flat.astype(jnp.float32)
+    m1 = jnp.mean(f32, axis=-1, keepdims=True)
+    m2 = jnp.mean(jnp.square(f32), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(jnp.maximum(m2 - jnp.square(m1), 0.0) + eps)
+    g = (f32 - m1) * inv
+    length = flat.shape[-1]
+    table_s = jnp.tile(scale.reshape(groups, cg), (1, length // cg))
+    table_b = jnp.tile(bias.reshape(groups, cg), (1, length // cg))
+    g = g * table_s[None] + table_b[None]
+    return g.reshape(y.shape).astype(y.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_conv_gn(x, kernel, conv_bias, scale, bias, groups: int = 16,
+                  eps: float = 1e-5):
+    """Differentiable fused conv3x3+relu+bandGN (Pallas fwd, XLA bwd)."""
+    interpret = jax.devices()[0].platform != 'tpu'
+    return conv_gn_pallas(x, kernel, conv_bias, scale, bias, groups, eps,
+                          interpret=interpret)
+
+
+def _fwd(x, kernel, conv_bias, scale, bias, groups, eps):
+    y = fused_conv_gn(x, kernel, conv_bias, scale, bias, groups, eps)
+    return y, (x, kernel, conv_bias, scale, bias)
+
+
+def _bwd(groups, eps, res, dy):
+    x, kernel, conv_bias, scale, bias = res
+
+    def f(x, kernel, conv_bias, scale, bias):
+        return _xla_reference(x, kernel, conv_bias, scale, bias, groups,
+                              eps)
+
+    _, vjp = jax.vjp(f, x, kernel, conv_bias, scale, bias)
+    return vjp(dy)
+
+
+fused_conv_gn.defvjp(_fwd, _bwd)
