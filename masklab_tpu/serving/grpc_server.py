@@ -30,15 +30,32 @@ def _identity(b: bytes) -> bytes:
 class MaskLabGrpcServer:
     def __init__(self, predictor: MaskLabPredictor,
                  port: int = DEFAULT_GRPC_PORT, instance_labels=(),
-                 max_workers: int = 4):
+                 max_workers: int = 4, max_batch: int = 8,
+                 window_ms: float = 4.0):
         import grpc
+
+        from .batching import MicroBatcher
 
         self.predictor = predictor
         self.instance_labels = tuple(instance_labels)
         self.port = port
+        # concurrent RPCs coalesce into bucketed device batches, same
+        # scheduler as the HTTP server (TF-Serving's batching role)
+        self.batcher = (MicroBatcher(predictor.predict,
+                                     max_batch=max_batch,
+                                     window_ms=window_ms)
+                        if max_batch > 1 else None)
 
         def predict(request: bytes, context) -> bytes:
-            out = self.predictor.predict_bytes(request)
+            if self.batcher is not None:
+                import cv2
+                import numpy as np
+                arr = np.frombuffer(request, np.uint8)
+                bgr = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+                rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+                out = self.batcher.submit(rgb)
+            else:
+                out = self.predictor.predict_bytes(request)
             payload: Dict = {}
             if 'summarize' in out:
                 payload['objs'] = summary_to_records(
@@ -66,6 +83,8 @@ class MaskLabGrpcServer:
 
     def stop(self, grace: Optional[float] = 0.5):
         self.server.stop(grace)
+        if self.batcher is not None:
+            self.batcher.close()
 
     def wait(self):
         self.server.wait_for_termination()
