@@ -13,7 +13,7 @@ float32 parameters; normalization statistics are always float32.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

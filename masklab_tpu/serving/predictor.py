@@ -17,7 +17,6 @@ no image codec; see serving.server for the wire format.
 from __future__ import annotations
 
 import io
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -29,8 +28,8 @@ from ..models.instance import trim_instances
 from ..models.masklab import MaskLab
 from ..ops.resize import resize_bilinear, resize_like
 from .postprocess import crop_and_pad_masks, smooth_semantics, upsample_output
-from .summary import fused_summary_union, summary_output
-from .visualize import draw_boxes, draw_instance, draw_segmentation
+from .summary import fused_summary_union
+from .visualize import draw_boxes, draw_segmentation
 
 
 def _downsampled_hw(in_hw, resolution) -> Tuple[int, int]:
