@@ -230,24 +230,32 @@ def main():
     }
 
     if not os.environ.get('BENCH_SKIP_EXTRAS') and not ckpt_dir:
-        from masklab_tpu.presets import road_project_config
-        rcfg = road_project_config()
-        rcfg.compute.compute_dtype = cfg.compute.compute_dtype
-        rcfg.compute.mesh_data = 1    # single-chip bench
-        rd, rs, rm, rf, rp = _bench_inference(rcfg, 8, size, iters)
-        extra['road_preset'] = {
-            'dense_fps': round(rd, 2), 'sparse_fps': round(rs, 2),
-            'mfu_pct': round(rm, 2) if rm is not None else None,
-            'batch': 8, 'p50_batch_latency_ms': round(rp, 2),
-            'backbone': 'seresnet34+se_heads',
-        }
-        ts_ms, ts_mfu, ts_flops = _bench_train_step()
-        extra['train_step'] = {
-            'step_ms': round(ts_ms, 2),
-            'mfu_pct': round(ts_mfu, 2) if ts_mfu is not None else None,
-            'xla_flops_per_step': ts_flops,
-            'config': 'resnext50 b4@256 joint trainer (BASELINE cfg 5)',
-        }
+        # extras are best-effort: a failure must not take down the
+        # headline metric the driver records
+        try:
+            from masklab_tpu.presets import road_project_config
+            rcfg = road_project_config()
+            rcfg.compute.compute_dtype = cfg.compute.compute_dtype
+            rcfg.compute.mesh_data = 1    # single-chip bench
+            rd, rs, rm, rf, rp = _bench_inference(rcfg, 8, size, iters)
+            extra['road_preset'] = {
+                'dense_fps': round(rd, 2), 'sparse_fps': round(rs, 2),
+                'mfu_pct': round(rm, 2) if rm is not None else None,
+                'batch': 8, 'p50_batch_latency_ms': round(rp, 2),
+                'backbone': 'seresnet34+se_heads',
+            }
+        except Exception as exc:  # noqa: BLE001
+            extra['road_preset'] = {'error': str(exc)[:200]}
+        try:
+            ts_ms, ts_mfu, ts_flops = _bench_train_step()
+            extra['train_step'] = {
+                'step_ms': round(ts_ms, 2),
+                'mfu_pct': round(ts_mfu, 2) if ts_mfu is not None else None,
+                'xla_flops_per_step': ts_flops,
+                'config': 'resnext50 b4@256 joint trainer (BASELINE cfg 5)',
+            }
+        except Exception as exc:  # noqa: BLE001
+            extra['train_step'] = {'error': str(exc)[:200]}
 
     result = {
         'metric': f'masklab_joint_inference_images_per_sec_{size}px',

@@ -190,3 +190,38 @@ def test_visualization_outputs_uint8():
     v3 = np.asarray(draw_boxes(img, det))
     assert v3.dtype == np.uint8
     assert (v3[0, 4, 4:12] == 255).all()    # top border row drawn white
+
+
+def test_predictor_summarize_mode_matches_visualize_summary():
+    """?outputs=summarize pipeline: analytics identical to the visualize
+    pipeline's summary, with NO image tensors in the result (the output
+    set a TF-Serving client selects, serving.py:192-212)."""
+    from masklab_tpu import ModelConfiguration
+    from masklab_tpu.models import build_masklab
+    from masklab_tpu.serving import MaskLabPredictor
+
+    cfg = ModelConfiguration()
+    cfg.backbone.backbone_type = 'mobilenet'
+    cfg.backbone.backbone_outputs = ('C3', 'C4', 'C5')
+    cfg.detection.feature_pyramid_inputs = ('C3', 'C4', 'C5')
+    cfg.backbone.num_features = 16
+    for g in (cfg.detection, cfg.instance, cfg.semantic):
+        g.num_features = 16
+        g.num_depth = 1
+    cfg.instance.crop_size = (7, 7)
+    cfg.semantic.num_aspp_features = 16
+    cfg.detection.nms_max_output_size = 4
+    cfg.compute.nms_candidates_per_class = 8
+    cfg.postprocess.resolution = (96, 128)
+
+    model = build_masklab(cfg)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 64, 64, 3)))
+    image = np.uint8(np.random.RandomState(1).rand(96, 128, 3) * 255)
+    pred = MaskLabPredictor(model, variables, cfg, visualization=True)
+    full = pred.predict(image)                       # visualize mode
+    lean = pred.predict(image, mode='summarize')
+    assert set(lean.keys()) == {'det_boxes', 'summarize'}
+    np.testing.assert_allclose(lean['summarize'], full['summarize'],
+                               atol=1e-5)
+    np.testing.assert_array_equal(lean['det_boxes'], full['det_boxes'])
