@@ -135,10 +135,10 @@ def _build_predictor(cfg, save_dir):
 
 def cmd_serve(args) -> None:
     from .serving.server import MaskLabServer
-    flags = ('--port', '--max-batch', '--no-watch')
+    flags = ('--port', '--max-batch', '--no-watch', '--warmup')
     cfg = _load_config([a for a in args
                         if not a.startswith(flags)])
-    port, max_batch, watch = 8501, 8, True
+    port, max_batch, watch, warmup = 8501, 8, True, False
     for a in args:
         if a.startswith('--port='):
             port = int(a.split('=', 1)[1])
@@ -146,7 +146,22 @@ def cmd_serve(args) -> None:
             max_batch = int(a.split('=', 1)[1])
         elif a == '--no-watch':
             watch = False
+        elif a == '--warmup':
+            warmup = True
     predictor = _build_predictor(cfg, cfg.train.save_dir)
+    if warmup:
+        # pre-compile every (configured resolution, batch bucket) pair so
+        # the first concurrent burst never pays a remote compile
+        h, w = cfg.postprocess.resolution
+        buckets, b = [], 1
+        while b < max_batch:
+            buckets.append(b)
+            b *= 2
+        buckets.append(max_batch)
+        sizes = [(h, w, bb, 'visualize') for bb in buckets]
+        sizes += [(h, w, bb, 'summarize') for bb in buckets]
+        print(f'warming {len(sizes)} pipelines...')
+        predictor.warmup(sizes)
     watch_dir = cfg.train.save_dir if (
         watch and cfg.train.save_dir
         and os.path.isdir(cfg.train.save_dir)) else None

@@ -114,11 +114,17 @@ class MaskLabPredictor:
     def warmup(self, sizes) -> None:
         """Pre-compile the pipeline for a set of static input resolutions
         (the serving analog of the reference's recommended resolution range,
-        config.py:15-19 — each bucket compiles once, then serves hot)."""
+        config.py:15-19 — each bucket compiles once, then serves hot).
+
+        ``sizes`` entries are (h, w) or (h, w, batch, mode) — the latter
+        pre-compiles a micro-batching bucket / output-mode combination."""
         import numpy as np
-        for hw in sizes:
-            dummy = np.zeros((1, hw[0], hw[1], 3), np.uint8)
-            self.predict(dummy)
+        for entry in sizes:
+            h, w = entry[0], entry[1]
+            batch = entry[2] if len(entry) > 2 else 1
+            mode = entry[3] if len(entry) > 3 else None
+            dummy = np.zeros((batch, h, w, 3), np.uint8)
+            self.predict(dummy, mode)
 
     def predict(self, images: np.ndarray,
                 mode: Optional[str] = None) -> Dict[str, np.ndarray]:

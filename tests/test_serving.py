@@ -225,3 +225,32 @@ def test_predictor_summarize_mode_matches_visualize_summary():
     np.testing.assert_allclose(lean['summarize'], full['summarize'],
                                atol=1e-5)
     np.testing.assert_array_equal(lean['det_boxes'], full['det_boxes'])
+
+
+def test_predictor_warmup_bucket_entries():
+    """warmup accepts (h, w, batch, mode) entries and pre-populates the
+    per-(resolution, mode) jit cache used by the micro-batcher."""
+    from masklab_tpu import ModelConfiguration
+    from masklab_tpu.models import build_masklab
+    from masklab_tpu.serving import MaskLabPredictor
+
+    cfg = ModelConfiguration()
+    cfg.backbone.backbone_type = 'mobilenet'
+    cfg.backbone.backbone_outputs = ('C3', 'C4', 'C5')
+    cfg.detection.feature_pyramid_inputs = ('C3', 'C4', 'C5')
+    cfg.backbone.num_features = 16
+    for g in (cfg.detection, cfg.instance, cfg.semantic):
+        g.num_features = 16
+        g.num_depth = 1
+    cfg.instance.crop_size = (7, 7)
+    cfg.semantic.num_aspp_features = 16
+    cfg.detection.nms_max_output_size = 4
+    cfg.compute.nms_candidates_per_class = 8
+    cfg.postprocess.resolution = (96, 128)
+    model = build_masklab(cfg)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 64, 64, 3)))
+    pred = MaskLabPredictor(model, variables, cfg, visualization=True)
+    pred.warmup([(96, 128), (96, 128, 2, 'summarize')])
+    assert ((96, 128), 'visualize') in pred._jitted
+    assert ((96, 128), 'summarize') in pred._jitted
