@@ -117,3 +117,29 @@ def test_batchnorm_collections_exist():
     _, mutated = model.apply(variables, x, train=True,
                              mutable=['batch_stats'])
     assert 'batch_stats' in mutated
+
+
+def test_preprocess_combos_match_reference_frozen_table():
+    """The snake-image preprocessing search (test/backbone_test, notebook
+    2) froze one (rgb, mean_shift, normalize) combo per backbone into
+    load_backbone (engine/backbone/base.py:190-279). The original
+    fixtures are unobtainable offline, so the oracle's OUTPUT — the
+    frozen table — is pinned here verbatim; any drift in
+    PREPROCESS_COMBOS is a parity break against the reference."""
+    from masklab_tpu.nn.backbone.preprocess import PREPROCESS_COMBOS
+    reference_frozen = {            # base.py line cited per row
+        'resnet50': (False, True, 0),       # :190-193
+        'resnet50v2': (True, True, 2),      # :196-199
+        'resnet101v2': (True, False, 2),    # :204-207
+        'resnext50': (True, True, 2),       # :214-217
+        'seresnet50': (True, True, 3),      # :220-223
+        'seresnet34': (True, False, 0),     # :229-232
+        'seresnext50': (True, True, 3),     # :238-241
+        'vgg16': (False, True, 0),          # :247-250
+        'mobilenet': (False, False, 2),     # :253-256
+        'efficientnetb2': (True, True, 3),  # :259-262
+        'efficientnetb3': (True, True, 3),  # :266-269
+        'efficientnetb4': (True, True, 3),  # :273-276
+    }
+    for name, combo in reference_frozen.items():
+        assert PREPROCESS_COMBOS[name] == combo, name
