@@ -152,12 +152,9 @@ def cmd_serve(args) -> None:
     if warmup:
         # pre-compile every (configured resolution, batch bucket) pair so
         # the first concurrent burst never pays a remote compile
+        from .serving.batching import default_buckets
         h, w = cfg.postprocess.resolution
-        buckets, b = [], 1
-        while b < max_batch:
-            buckets.append(b)
-            b *= 2
-        buckets.append(max_batch)
+        buckets = default_buckets(max_batch)
         sizes = [(h, w, bb, 'visualize') for bb in buckets]
         sizes += [(h, w, bb, 'summarize') for bb in buckets]
         print(f'warming {len(sizes)} pipelines...')

@@ -211,28 +211,30 @@ class MaskSubNet(nn.Module):
                                                     crop_size)
                     y = mdl.heads[idx](
                         crops.reshape((b * c,) + crops.shape[2:]))
-                    y = y.reshape((b, c) + y.shape[1:]).astype(jnp.float32)
+                    y = y.reshape((b, c) + y.shape[1:])
                     # slots past this image's count hold other levels' boxes
                     valid = (jnp.arange(c)[None, :]
                              < counts[:, None])               # [B, c]
-                    y = y * valid[..., None, None, None]
+                    y = y * valid[..., None, None, None].astype(y.dtype)
                     # scatter the compacted results back to their original
                     # slots as a one-hot permutation matmul — scatter-add
-                    # serializes on TPU, the einsum rides the MXU
+                    # serializes on TPU, the einsum rides the MXU.
+                    # IMPORTANT: run it in the HEAD's dtype (pre-f32-cast):
+                    # bf16 operands are exact at default precision (each
+                    # output is one bf16 value accumulated in f32, which
+                    # round-trips exactly) and ride the fast single-pass
+                    # MXU path; f32 operands need HIGHEST (the default
+                    # rounds them through bf16, perturbing the routed
+                    # logits). A prior revision cast y to f32 BEFORE the
+                    # dtype test, making the fast branch dead code.
                     onehot = (sel[:, :, None]
                               == jnp.arange(k)[None, None, :])  # [B, c, K]
-                    # 0/1 permutation matmul: bf16 operands are exact at
-                    # default precision (each output is one bf16 value
-                    # accumulated in f32, which round-trips exactly); f32
-                    # operands need HIGHEST (the default rounds them
-                    # through bf16, perturbing the routed logits).
-                    # HIGHEST on bf16 would force the slow multi-pass
-                    # path — measured 593 -> ~550 dense img/s.
                     prec = (None if y.dtype == jnp.bfloat16
                             else jax.lax.Precision.HIGHEST)
-                    return jnp.einsum('bcj,bchwd->bjhwd',
-                                      onehot.astype(y.dtype), y,
-                                      precision=prec)
+                    routed = jnp.einsum('bcj,bchwd->bjhwd',
+                                        onehot.astype(y.dtype), y,
+                                        precision=prec)
+                    return routed.astype(jnp.float32)
                 return branch
 
             total = total + nn.switch(

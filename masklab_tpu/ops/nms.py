@@ -355,9 +355,9 @@ def _nms_impl(cls_pred: jnp.ndarray, boxes: jnp.ndarray,
     return jax.lax.stop_gradient(result)
 
 
-@partial(jax.jit, static_argnames=(
-    'min_confidence', 'nms_iou_threshold', 'post_iou_threshold',
-    'max_outputs', 'candidates_per_class'))
+_NMS_JIT_CACHE: dict = {}
+
+
 def batched_class_aware_nms(cls_pred: jnp.ndarray, boxes: jnp.ndarray,
                             min_confidence: float = 0.05,
                             nms_iou_threshold: float = 0.4,
@@ -382,6 +382,27 @@ def batched_class_aware_nms(cls_pred: jnp.ndarray, boxes: jnp.ndarray,
     Returns:
       [B, max_outputs, 6] rows (cx, cy, w, h, class, conf), -1-padded.
     """
+    # one jit object per shard_local_nms scope: the scope is consulted at
+    # TRACE time (candidate_pool), so a single jit's aval-keyed cache
+    # would silently reuse a lowering traced under a different scope
+    # (e.g. an unscoped eval trace poisoning the scoped train step with
+    # the full-sort fallback, or vice versa)
+    key = _shard_scope()
+    if key not in _NMS_JIT_CACHE:
+        _NMS_JIT_CACHE[key] = jax.jit(
+            _nms_jittable, static_argnames=(
+                'min_confidence', 'nms_iou_threshold',
+                'post_iou_threshold', 'max_outputs',
+                'candidates_per_class'))
+    return _NMS_JIT_CACHE[key](
+        cls_pred, boxes, min_confidence=min_confidence,
+        nms_iou_threshold=nms_iou_threshold,
+        post_iou_threshold=post_iou_threshold, max_outputs=max_outputs,
+        candidates_per_class=candidates_per_class)
+
+
+def _nms_jittable(cls_pred, boxes, *, min_confidence, nms_iou_threshold,
+                  post_iou_threshold, max_outputs, candidates_per_class):
     impl = partial(_nms_impl, min_confidence=min_confidence,
                    nms_iou_threshold=nms_iou_threshold,
                    post_iou_threshold=post_iou_threshold,

@@ -23,9 +23,21 @@ from __future__ import annotations
 import os
 import threading
 import time
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+
+def default_buckets(max_batch: int) -> Tuple[int, ...]:
+    """Powers of two up to ``max_batch``: each (resolution, bucket)
+    compiles once; requests pad to the next bucket. Shared by the
+    batcher and the serve CLI's --warmup pre-compile grid."""
+    buckets, b = [], 1
+    while b < max_batch:
+        buckets.append(b)
+        b *= 2
+    buckets.append(max_batch)
+    return tuple(buckets)
 
 
 def _next_bucket(n: int, buckets: Sequence[int]) -> int:
@@ -59,13 +71,7 @@ class MicroBatcher:
                  max_batch: int = 8, window_ms: float = 4.0,
                  buckets: Optional[Sequence[int]] = None):
         if buckets is None:
-            # powers of two up to max_batch: each (resolution, bucket)
-            # compiles once; requests pad to the next bucket
-            buckets, b = [], 1
-            while b < max_batch:
-                buckets.append(b)
-                b *= 2
-            buckets.append(max_batch)
+            buckets = default_buckets(max_batch)
         self.predict = predict
         self.max_batch = min(max_batch, buckets[-1])
         self.window_s = window_ms / 1000.0
@@ -73,7 +79,8 @@ class MicroBatcher:
         self._lock = threading.Condition()
         self._queue: List[_Pending] = []
         self._closed = False
-        self.batch_sizes: List[int] = []   # observability / tests
+        from collections import deque
+        self.batch_sizes = deque(maxlen=1024)   # observability / tests
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -136,14 +143,19 @@ class MicroBatcher:
             self._run(group)
 
     def _run(self, group: List[_Pending]):
-        bucket = _next_bucket(len(group), self.buckets)
-        images = np.stack([i.image for i in group])
-        if bucket > len(group):
-            pad = np.zeros((bucket - len(group),) + images.shape[1:],
-                           images.dtype)
-            images = np.concatenate([images, pad])
-        self.batch_sizes.append(bucket)
+        # EVERYTHING from here on must fan failures out to the waiters:
+        # an exception escaping this method kills the dispatcher thread
+        # and hangs every submit() forever (batch build included — e.g.
+        # same-(H, W) images with mismatched channel counts break
+        # np.stack)
         try:
+            bucket = _next_bucket(len(group), self.buckets)
+            images = np.stack([i.image for i in group])
+            if bucket > len(group):
+                pad = np.zeros((bucket - len(group),) + images.shape[1:],
+                               images.dtype)
+                images = np.concatenate([images, pad])
+            self.batch_sizes.append(bucket)
             out = (self.predict(images) if group[0].mode is None
                    else self.predict(images, group[0].mode))
         except BaseException as exc:  # noqa: BLE001 — fan out to waiters

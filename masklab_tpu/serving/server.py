@@ -67,8 +67,13 @@ class _Handler(BaseHTTPRequestHandler):
             return
         # output selection (the TF-Serving client chose its fetches;
         # serving.py:192-212 parsed visualize+summarize — here a client
-        # that only needs analytics skips the JPEG encode round trip)
-        mode = 'summarize' if 'outputs=summarize' in query else 'visualize'
+        # that only needs analytics skips the JPEG encode round trip,
+        # and ?outputs=raw returns boxes/masks/semantics tensors)
+        mode = 'visualize'
+        if 'outputs=summarize' in query:
+            mode = 'summarize'
+        elif 'outputs=raw' in query:
+            mode = 'raw'
         length = int(self.headers.get('Content-Length', 0))
         content = self.rfile.read(length)
         started = time.time()
@@ -93,7 +98,9 @@ class _Handler(BaseHTTPRequestHandler):
             payload['visualize_jpeg_b64'] = base64.b64encode(
                 MaskLabPredictor.encode_jpeg(out['visualize'][0])).decode()
         elif 'summarize' not in out:
+            # raw mode: boxes + per-instance masks + semantics
             payload['det_boxes'] = out['det_boxes'][0].tolist()
+            payload['semantic_shape'] = list(out['semantic'].shape[1:])
         self._respond(200, json.dumps(payload).encode())
 
     def _respond(self, code: int, body: bytes):

@@ -46,10 +46,14 @@ class CheckpointManager:
         return path
 
     def best_checkpoint(self) -> Optional[str]:
-        """Lexically-smallest name = lowest loss (train.py:84-85)."""
+        """Lexically-smallest name = lowest loss (train.py:84-85).
+
+        Orbax writes in-progress saves as '<name>.orbax-checkpoint-tmp-*'
+        siblings before the atomic rename; they must never be picked up
+        (the serving CheckpointWatcher polls this mid-training)."""
         names = [n for n in os.listdir(self.save_dir)
                  if os.path.isdir(os.path.join(self.save_dir, n))
-                 and '-' in n]
+                 and '-' in n and 'tmp' not in n]
         if not names:
             return None
         return os.path.join(self.save_dir, sorted(names)[0])

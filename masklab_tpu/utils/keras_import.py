@@ -732,10 +732,19 @@ def convert_backbone(weights: Sequence[Weight], backbone_type: str,
         else:
             body_w.append((name, value))
     body_params, body_stats = _BACKBONE_CONVERTERS[bt](body_w)
+    # the flax auto-name of the body module inside BackboneNetwork is
+    # its class name + '_0' (BACKBONE_REGISTRY builder return types)
     body_name = {'mobilenet': 'MobileNetV1_0',
                  'seresnet34': 'CMResNet_0',
                  'resnet50v2': 'ResNetV2_0',
-                 'resnet101v2': 'ResNetV2_0'}[bt]
+                 'resnet101v2': 'ResNetV2_0',
+                 'resnext50': 'ResNet_0',
+                 'seresnet50': 'ResNet_0',
+                 'seresnext50': 'ResNet_0',
+                 'vgg16': 'VGG16_0',
+                 'efficientnetb2': 'EfficientNet_0',
+                 'efficientnetb3': 'EfficientNet_0',
+                 'efficientnetb4': 'EfficientNet_0'}[bt]
     params: Dict = {body_name: body_params}
     stats: Dict = {body_name: body_stats}
     if extras:

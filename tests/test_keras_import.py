@@ -90,3 +90,31 @@ def test_find_group():
     assert find_group(names, r'^feature_pyramid') == 'feature_pyramid'
     with pytest.raises(ImportMismatch):
         find_group(names, r'^resnet')
+
+
+def test_convert_backbone_body_names_cover_every_converter():
+    """convert_backbone's body_name map must name the REAL flax module
+    for every backbone the converter registry supports — a missing or
+    wrong entry turns whole-model import/export into a KeyError or a
+    silently misplaced subtree (round-3 review finding)."""
+    import jax
+    import jax.numpy as jnp
+    from masklab_tpu.nn.backbone import BackboneNetwork
+    from masklab_tpu.utils import keras_import as ki
+
+    src = open(ki.__file__.replace('.pyc', '.py')).read()
+    # extract the literal map the function uses
+    import re
+    m = re.search(r"body_name = \{(.*?)\}\[bt\]", src, re.S)
+    assert m, 'body_name map not found'
+    body_map = eval('{' + m.group(1) + '}')  # noqa: S307 — repo literal
+    assert set(body_map) == set(ki._BACKBONE_CONVERTERS), (
+        'body_name map out of sync with _BACKBONE_CONVERTERS')
+    for bt, body_name in sorted(body_map.items()):
+        net = BackboneNetwork(backbone_type=bt,
+                              backbone_outputs=('C3', 'C4', 'C5'),
+                              num_features=8, dtype=jnp.float32)
+        variables = jax.jit(net.init)(jax.random.PRNGKey(0),
+                                      jnp.zeros((1, 64, 64, 3)))
+        assert body_name in variables['params'], (
+            bt, body_name, sorted(variables['params']))
