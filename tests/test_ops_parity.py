@@ -379,3 +379,33 @@ class TestCandidatePool:
         big_sorts = [ln for ln in txt.splitlines()
                      if re.search(r'sort.*\[[^]]*81[0-9]{3}', ln)]
         assert not big_sorts, big_sorts[:2]
+
+
+def test_nms_jit_cache_is_scope_keyed():
+    """A trace cached under one shard_local_nms scope must not be reused
+    under another (round-3 review: an unscoped eval trace could silently
+    poison the scoped train step with the full-sort fallback)."""
+    import numpy as np
+    from masklab_tpu.ops import nms as nms_mod
+    from masklab_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(0)
+    cls_pred = jnp.asarray(rng.rand(8, 64, 3).astype(np.float32))
+    boxes = jnp.asarray(
+        np.stack([rng.uniform(30, 90, (8, 64)), rng.uniform(30, 90, (8, 64)),
+                  rng.uniform(5, 40, (8, 64)), rng.uniform(5, 40, (8, 64))],
+                 -1).astype(np.float32))
+    nms_mod._NMS_JIT_CACHE.clear()
+    out_plain = nms_mod.batched_class_aware_nms(cls_pred, boxes,
+                                                max_outputs=8,
+                                                candidates_per_class=16)
+    assert len(nms_mod._NMS_JIT_CACHE) == 1
+    mesh = make_mesh(data=8, model=1)
+    with nms_mod.shard_local_nms(mesh):
+        out_scoped = nms_mod.batched_class_aware_nms(
+            cls_pred, boxes, max_outputs=8, candidates_per_class=16)
+    assert len(nms_mod._NMS_JIT_CACHE) == 2, (
+        'scoped call reused the unscoped jit entry')
+    # and the results agree (the scope changes lowering, not semantics)
+    np.testing.assert_allclose(np.asarray(out_plain),
+                               np.asarray(out_scoped), atol=1e-6)
