@@ -29,6 +29,43 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_FPS = 30.0
 
+
+def _acquire_devices(budget_s=600.0, first_wait=15.0):
+    """Bounded retry-with-backoff around first device acquisition.
+
+    The TPU backend here rides a tunnel that has outages (round 3 lost its
+    driver-recorded number to a transient `UNAVAILABLE` at capture time).
+    Backend init happens implicitly at the first jnp call, so force it
+    eagerly and retry: a late-but-valid number beats an rc=1 hole.
+
+    Returns the device list. Raises the last error once the budget is spent.
+    Retries are only attempted for availability-shaped errors; anything else
+    (import errors, config bugs) surfaces immediately.
+    """
+    import jax
+
+    deadline = time.monotonic() + budget_s
+    wait = first_wait
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            return jax.devices()
+        except Exception as exc:  # noqa: BLE001
+            msg = str(exc)
+            transient = ('UNAVAILABLE' in msg or 'DEADLINE_EXCEEDED' in msg
+                         or 'Unable to initialize backend' in msg)
+            remaining = deadline - time.monotonic()
+            if not transient or remaining <= 0:
+                raise
+            sleep_s = min(wait, remaining)
+            print(f'bench: device acquisition attempt {attempt} failed '
+                  f'({msg.splitlines()[0][:120]}); retrying in '
+                  f'{sleep_s:.0f}s ({remaining:.0f}s budget left)',
+                  file=sys.stderr)
+            time.sleep(sleep_s)
+            wait = min(wait * 2, 120.0)
+
 # bf16 peak FLOP/s per chip by device kind (dense MXU)
 _PEAK_BF16 = (
     ('v6', 918e12),
@@ -163,6 +200,8 @@ def main():
     # here and are expensive; cache them across processes/rounds
     jax.config.update('jax_compilation_cache_dir', '/root/.jax_cache')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    budget = float(os.environ.get('BENCH_ACQUIRE_BUDGET_S', '600'))
+    _acquire_devices(budget_s=budget)
     import jax.numpy as jnp
     import numpy as np
     from masklab_tpu import ModelConfiguration
@@ -267,5 +306,30 @@ def main():
     print(json.dumps(result))
 
 
+def run():
+    """Entry wrapper: on ANY terminal failure, still print one parseable
+    JSON line (with an `error` field) so the driver's capture is never an
+    unparseable traceback-only tail, then exit non-zero."""
+    try:
+        main()
+    except (KeyboardInterrupt, SystemExit):
+        raise
+    except BaseException as exc:  # noqa: BLE001
+        # full traceback to stderr FIRST so the JSON line is the last
+        # thing in any combined-capture tail
+        import traceback
+        traceback.print_exc()
+        sys.stderr.flush()
+        print(json.dumps({
+            'metric': 'masklab_joint_inference_images_per_sec_512px',
+            'value': None,
+            'unit': 'images/sec/chip',
+            'vs_baseline': None,
+            'error': f'{type(exc).__name__}: {str(exc)[:400]}',
+        }))
+        sys.stdout.flush()
+        sys.exit(1)
+
+
 if __name__ == '__main__':
-    main()
+    run()

@@ -139,6 +139,7 @@ def cmd_serve(args) -> None:
     cfg = _load_config([a for a in args
                         if not a.startswith(flags)])
     port, max_batch, watch, warmup = 8501, 8, True, False
+    warmup_sizes = []
     for a in args:
         if a.startswith('--port='):
             port = int(a.split('=', 1)[1])
@@ -146,17 +147,28 @@ def cmd_serve(args) -> None:
             max_batch = int(a.split('=', 1)[1])
         elif a == '--no-watch':
             watch = False
+        elif a.startswith('--warmup-sizes='):
+            # e.g. --warmup-sizes=1080x1920,720x1280 — CLIENT image sizes
+            # (the jit cache is keyed by what clients actually send, which
+            # need not equal postprocess.resolution — ADVICE r3)
+            warmup = True
+            for tok in a.split('=', 1)[1].split(','):
+                if tok:
+                    h, w = tok.lower().split('x')
+                    warmup_sizes.append((int(h), int(w)))
         elif a == '--warmup':
             warmup = True
+    if warmup and not warmup_sizes:
+        warmup_sizes = [tuple(cfg.postprocess.resolution)]
     predictor = _build_predictor(cfg, cfg.train.save_dir)
     if warmup:
-        # pre-compile every (configured resolution, batch bucket) pair so
-        # the first concurrent burst never pays a remote compile
+        # pre-compile every (client size, batch bucket, mode) combination
+        # so the first concurrent burst never pays a remote compile
         from .serving.batching import default_buckets
-        h, w = cfg.postprocess.resolution
         buckets = default_buckets(max_batch)
-        sizes = [(h, w, bb, 'visualize') for bb in buckets]
-        sizes += [(h, w, bb, 'summarize') for bb in buckets]
+        sizes = [(h, w, bb, mode)
+                 for (h, w) in warmup_sizes for bb in buckets
+                 for mode in ('visualize', 'summarize')]
         print(f'warming {len(sizes)} pipelines...')
         predictor.warmup(sizes)
     watch_dir = cfg.train.save_dir if (
@@ -185,26 +197,85 @@ def cmd_process(args) -> None:
 
 
 def cmd_export(args) -> None:
-    """Re-export serving postprocess parameters into a checkpoint dir.
+    """Export a trained checkpoint as a deployable serving artifact.
 
-    The reference's ``save_hyundai_model_with_visualization`` CLI rebuilt
-    the SavedModel with custom colors/alphas/smoothing/road-size params
-    (serving.py:112-151). Here the predictor is config-driven, so exporting
-    = writing a serving_config.json next to the weights; ``serve`` and
-    ``process`` pick it up.
+    Two forms:
+
+    * ``export <save_dir> [-postprocess.* ...]`` — refresh the
+      serving_config.json next to the weights (the reference's
+      ``save_hyundai_model_with_visualization`` role, serving.py:112-151:
+      rebuild the export with custom colors/alphas/smoothing/road-size).
+    * ``export <save_dir> --dest=<bundle_root> [--h5] [-postprocess.*]``
+      — write a SELF-CONTAINED versioned bundle
+      ``<bundle_root>/<version>/`` (the reference's deployment contract:
+      road_project/setup/serving.py:56-84 writes ``model/{version}/``
+      SavedModels a stock TF-Serving container loads with zero Python
+      context). The bundle carries the best checkpoint (orbax), the
+      architecture config.json, the serving_config.json, and — with
+      ``--h5``, when the reference's TF code is importable — the weights
+      in the reference's own h5 format.
+      ``serve -train.save_dir <bundle_root>/<version>`` loads it as-is.
     """
     if not args or args[0].startswith('-'):
-        raise SystemExit('usage: export <save_dir> [-postprocess.* ...]')
+        raise SystemExit('usage: export <save_dir> [--dest=<bundle_root>] '
+                         '[--h5] [-postprocess.* ...]')
     save_dir = args[0]
+    dest = None
+    want_h5 = False
+    rest = []
+    for a in args[1:]:
+        if a.startswith('--dest='):
+            dest = a.split('=', 1)[1]
+        elif a == '--h5':
+            want_h5 = True
+        else:
+            rest.append(a)
     from .train.checkpoints import CheckpointManager
     ckpt = CheckpointManager(save_dir, None)
     cfg = ckpt.load_config() or ModelConfiguration()
     overrides = ModelConfiguration()
-    ns = overrides.get_arg_parser(args=list(args[1:]))
+    ns = overrides.get_arg_parser(args=rest)
     overrides.apply_namespace(ns)
     cfg.postprocess = overrides.postprocess
-    cfg.save_json(os.path.join(save_dir, 'serving_config.json'))
-    print(f'serving config exported to {save_dir}/serving_config.json')
+
+    if dest is None:
+        cfg.save_json(os.path.join(save_dir, 'serving_config.json'))
+        print(f'serving config exported to {save_dir}/serving_config.json')
+        return
+
+    import shutil
+    best = ckpt.best_checkpoint()
+    if best is None:
+        raise SystemExit(f'no checkpoints in {save_dir}')
+    os.makedirs(dest, exist_ok=True)
+    existing = [int(n) for n in os.listdir(dest) if n.isdigit()]
+    version = max(existing, default=0) + 1
+    bundle = os.path.join(dest, str(version))
+    os.makedirs(bundle)
+    shutil.copytree(best, os.path.join(bundle, os.path.basename(best)))
+    cfg.save_json(os.path.join(bundle, 'config.json'))
+    cfg.save_json(os.path.join(bundle, 'serving_config.json'))
+    if want_h5:
+        _export_reference_h5(cfg, bundle)
+    print(f'bundle exported to {bundle} '
+          f'(serve with: -train.save_dir {bundle})')
+
+
+def _export_reference_h5(cfg, bundle: str) -> None:
+    """Best-effort reference-format h5 into the bundle (flax -> reference
+    transplant, utils/keras_export.py). Needs the reference checkout + TF
+    importable; failure must not void the bundle itself."""
+    try:
+        from .train.checkpoints import CheckpointManager
+        from .utils import keras_export as ke
+        variables = CheckpointManager(bundle, None).restore_variables()
+        net = ke.build_reference_inference_network(cfg)
+        ke.transplant_into_reference(variables, cfg, net)
+        ke.save_reference_h5(net, os.path.join(bundle, 'model.h5'))
+        print(f'reference-format weights: {bundle}/model.h5')
+    except Exception as exc:  # noqa: BLE001 — optional interchange artifact
+        print(f'WARNING: --h5 export skipped ({type(exc).__name__}: '
+              f'{str(exc)[:200]})', file=sys.stderr)
 
 
 def cmd_etl(args) -> None:

@@ -173,9 +173,15 @@ class MultiprocessLoader:
         # while batch order still varies epoch to epoch (the in-process
         # generator reshuffles per epoch; workers must match)
         epoch_seed = (self.seed + self._epoch) if self.shuffle else None
+        # scale-bucket rng seed advances with the epoch REGARDLESS of the
+        # shuffle flag (ADVICE r3: shuffle=False collapsed it to `index`
+        # alone, repeating identical scale choices every epoch — unlike
+        # the in-process generator whose rng advances), and is offset so
+        # seed=0/epoch=0 cannot alias another (seed, epoch) pair
+        scale_base = self.seed + self._epoch + 1
         self._epoch += 1
         for batch in pool.imap(_loader_get,
-                               [(epoch_seed, i)
+                               [(epoch_seed, scale_base, i)
                                 for i in range(self.num_batches)],
                                chunksize=1):
             yield batch
@@ -199,21 +205,22 @@ def _loader_init(generator_args):
 
 
 def _loader_get(args):
-    epoch_seed, index = args
+    epoch_seed, scale_base, index = args
     global _WORKER_EPOCH_SEED
     gen = _WORKER_GENERATOR
     if epoch_seed != _WORKER_EPOCH_SEED:
         # deterministic shuffle from the canonical order (NOT cumulative:
         # workers may skip epochs, so each epoch's order must be a pure
-        # function of its seed)
+        # function of its seed). epoch_seed is None <=> shuffle disabled.
         gen.dataset.cases = _WORKER_CANONICAL.copy()
         if epoch_seed is not None:
             gen.dataset.shuffle(np.random.RandomState(epoch_seed))
         _WORKER_EPOCH_SEED = epoch_seed
-    # scale bucket choice deterministic per (epoch, index) so the batch is
-    # reproducible no matter which worker serves it
+    # scale bucket choice deterministic per (seed, epoch, index) so the
+    # batch is reproducible no matter which worker serves it — and varies
+    # across epochs even with shuffle=False
     gen.rng = np.random.RandomState(
-        ((epoch_seed or 0) * 100003 + index) % (2 ** 31))
+        (scale_base * 100003 + index) % (2 ** 31))
     return gen[index]
 
 

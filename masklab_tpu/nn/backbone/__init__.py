@@ -225,6 +225,26 @@ def module_frozen(backbone_type: str, module_name: str,
         if m:
             return int(m.group(1)) <= _EFFNET_LAST_FROZEN_STAGE[freeze_depth]
         return False
+    if bt == 'seresnext50':
+        # inner taps (base.py:139-145): C2-C4 are the post-conv1 relus
+        # inside the NEXT stage's first block, so the reference's
+        # layer-order cutoff (base.py:319-345) additionally freezes that
+        # block's conv1 + bn1 — Conv_0/_BN_0 here — at depths C2-C4
+        # (everything built before the tap activation; ADVICE r3).
+        if module_name.startswith('stem'):
+            return True
+        m = re.match(r'stage(\d+)', module_name)
+        if not m:
+            return False
+        stage = int(m.group(1))
+        depth = _RESNET_STAGE_OF_DEPTH[freeze_depth]
+        if stage <= depth:
+            return True
+        if freeze_depth in ('C2', 'C3', 'C4') and stage == depth + 1:
+            parts = module_name.split('/')
+            return (len(parts) >= 3 and parts[1] == 'BottleneckBlock_0'
+                    and parts[2] in ('Conv_0', '_BN_0'))
+        return False
     # resnet family: stem + stage{2..5}
     if module_name.startswith('stem'):
         return True

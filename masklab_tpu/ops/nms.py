@@ -28,6 +28,7 @@ confidence, matching the reference's final ordering.
 """
 from __future__ import annotations
 
+import collections
 import contextlib
 from functools import partial
 
@@ -355,7 +356,12 @@ def _nms_impl(cls_pred: jnp.ndarray, boxes: jnp.ndarray,
     return jax.lax.stop_gradient(result)
 
 
-_NMS_JIT_CACHE: dict = {}
+# Bounded LRU: keys embed live Mesh objects (recreated trainers / tests /
+# notebook reuse would otherwise pin every stale mesh + its lowering
+# forever). 8 scopes is far above any real process's concurrent meshes;
+# eviction only costs a re-jit if an evicted scope comes back.
+_NMS_JIT_CACHE: 'collections.OrderedDict' = collections.OrderedDict()
+_NMS_JIT_CACHE_MAX = 8
 
 
 def batched_class_aware_nms(cls_pred: jnp.ndarray, boxes: jnp.ndarray,
@@ -394,6 +400,10 @@ def batched_class_aware_nms(cls_pred: jnp.ndarray, boxes: jnp.ndarray,
                 'min_confidence', 'nms_iou_threshold',
                 'post_iou_threshold', 'max_outputs',
                 'candidates_per_class'))
+        while len(_NMS_JIT_CACHE) > _NMS_JIT_CACHE_MAX:
+            _NMS_JIT_CACHE.popitem(last=False)
+    else:
+        _NMS_JIT_CACHE.move_to_end(key)
     return _NMS_JIT_CACHE[key](
         cls_pred, boxes, min_confidence=min_confidence,
         nms_iou_threshold=nms_iou_threshold,

@@ -176,16 +176,29 @@ def _xla_reference(x, kernel, conv_bias, scale, bias, groups, eps):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def fused_conv_gn(x, kernel, conv_bias, scale, bias, groups: int = 16,
-                  eps: float = 1e-5):
-    """Differentiable fused conv3x3+relu+bandGN (Pallas fwd, XLA bwd)."""
+def _fused_conv_gn(x, kernel, conv_bias, scale, bias, groups: int = 16,
+                   eps: float = 1e-5):
     interpret = jax.devices()[0].platform != 'tpu'
     return conv_gn_pallas(x, kernel, conv_bias, scale, bias, groups, eps,
                           interpret=interpret)
 
 
+def fused_conv_gn(x, kernel, conv_bias, scale, bias, groups: int = 16,
+                  eps: float = 1e-5):
+    """Differentiable fused conv3x3+relu+bandGN (Pallas fwd, XLA bwd).
+
+    ``conv_bias=None`` is normalized to zeros HERE, before the custom_vjp
+    boundary, so the backward's XLA recomputation sees the same array
+    inputs as the forward (ADVICE r3: a None bias saved in residuals
+    would crash ``_xla_reference``'s ``.astype`` under differentiation).
+    """
+    if conv_bias is None:
+        conv_bias = jnp.zeros((kernel.shape[-1],), jnp.float32)
+    return _fused_conv_gn(x, kernel, conv_bias, scale, bias, groups, eps)
+
+
 def _fwd(x, kernel, conv_bias, scale, bias, groups, eps):
-    y = fused_conv_gn(x, kernel, conv_bias, scale, bias, groups, eps)
+    y = _fused_conv_gn(x, kernel, conv_bias, scale, bias, groups, eps)
     return y, (x, kernel, conv_bias, scale, bias)
 
 
@@ -200,4 +213,4 @@ def _bwd(groups, eps, res, dy):
     return vjp(dy)
 
 
-fused_conv_gn.defvjp(_fwd, _bwd)
+_fused_conv_gn.defvjp(_fwd, _bwd)

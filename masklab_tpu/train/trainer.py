@@ -30,6 +30,7 @@ from ..data.generator import (MaskLabGenerator, MultiprocessLoader,
                               PrefetchIterator, pad_boxes_to)
 from ..models.masklab import MaskLab, build_masklab
 from ..parallel.mesh import (batch_sharding, make_mesh,
+                             make_parallel_eval_step,
                              make_parallel_train_step, replicate_sharding,
                              shard_batch)
 from .checkpoints import CheckpointManager
@@ -134,7 +135,17 @@ class MaskLabTrainer:
                                         replicate_sharding(self.mesh))
         else:
             step_fn = make_train_step(self.model, donate=True, seed=seed)
-        eval_fn = make_eval_step(self.model) if valid_generator else None
+        # validation rides the mesh like training when the valid batch
+        # divides across it; otherwise (or single-device) plain jit
+        eval_fn = None
+        eval_sharded = False
+        if valid_generator:
+            if multi and valid_generator.batch_size \
+                    % self.mesh.devices.size == 0:
+                eval_fn = make_parallel_eval_step(self.model, self.mesh)
+                eval_sharded = True
+            else:
+                eval_fn = make_eval_step(self.model)
         steps = steps_per_epoch if steps_per_epoch is not None \
             else max(1, step_size // 2)
         # worker-process batch building (fit_generator's worker pool) when
@@ -153,14 +164,16 @@ class MaskLabTrainer:
 
         try:
             self._run_epochs(name, source, valid_generator, epochs,
-                             schedule, step_fn, eval_fn, steps, multi)
+                             schedule, step_fn, eval_fn, steps, multi,
+                             eval_sharded)
         finally:
             # the spawned worker pool must not leak even if a step raises
             if loader is not None:
                 loader.close()
 
     def _run_epochs(self, name, source, valid_generator, epochs, schedule,
-                    step_fn, eval_fn, steps, multi) -> None:
+                    step_fn, eval_fn, steps, multi,
+                    eval_sharded: bool = False) -> None:
         for epoch in range(epochs):
             t0 = time.time()
             step_metrics = []
@@ -193,8 +206,10 @@ class MaskLabTrainer:
                 # engine/train.py:106-153), not a single batch
                 vrows = []
                 for vi in range(len(valid_generator)):
-                    vm = eval_fn(self.state,
-                                 self._prepare(valid_generator[vi]))
+                    vb = self._prepare(valid_generator[vi])
+                    if eval_sharded:
+                        vb = shard_batch(vb, self.mesh)
+                    vm = eval_fn(self.state, vb)
                     vrows.append({k: float(v) for k, v in vm.items()})
                 for k in vrows[0]:
                     epoch_metrics[f'val_{k}'] = float(

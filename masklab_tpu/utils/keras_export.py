@@ -208,6 +208,92 @@ def transplant_into_reference(variables: Dict, config, model) -> None:
         pos += n
 
 
+def build_reference_inference_network(config):
+    """Build the reference's own inference network for ``config``
+    (engine/retinamasklab.py:420-495) with ImageNet weight loading
+    disabled (the caller is about to transplant trained weights in).
+
+    Requires the reference checkout + its TF shims (tests/ref_shim.py) to
+    be importable; raises otherwise — callers treat the h5 interchange as
+    best-effort.
+    """
+    import contextlib
+    import os
+    import sys
+    import types
+
+    tests_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), 'tests')
+    if os.path.isdir(tests_dir) and tests_dir not in sys.path:
+        sys.path.append(tests_dir)
+    from ref_shim import install_shims
+    install_shims()
+    import engine.backbone.base as ref_base
+    from engine import retinamasklab as rml
+    from engine.config import ModelConfiguration as RefConfig
+
+    # translate the config: groups/attrs share names by design; tuples
+    # become lists (the reference mutates them), extra groups (compute)
+    # and extra attrs are skipped
+    import dataclasses as dc
+    rcfg = RefConfig()
+    for gname in ('postprocess', 'backbone', 'detection', 'instance',
+                  'semantic', 'loss', 'dataset', 'train'):
+        mg = getattr(config, gname, None)
+        rg = getattr(rcfg, gname, None)
+        if mg is None or rg is None:
+            continue
+        for f in dc.fields(mg):
+            if hasattr(rg, f.name):
+                v = getattr(mg, f.name)
+                setattr(rg, f.name, list(v) if isinstance(v, tuple) else v)
+
+    @contextlib.contextmanager
+    def no_imagenet():
+        """Force weights=None through every builder load_backbone uses."""
+        def wrap(fn):
+            def inner(*a, **kw):
+                kw['weights'] = None
+                return fn(*a, **kw)
+            return inner
+
+        saved = {}
+        for n in ('ResNet50', 'MobileNet', 'VGG16', 'ResNet101V2',
+                  'ResNeXt50'):
+            if hasattr(ref_base, n):
+                saved[n] = getattr(ref_base, n)
+                setattr(ref_base, n, wrap(saved[n]))
+        if hasattr(ref_base, 'Classifiers'):
+            saved['Classifiers'] = ref_base.Classifiers
+            orig_get = ref_base.Classifiers.get
+
+            def patched_get(name):
+                builder, pre = orig_get(name)
+                return wrap(builder), pre
+
+            ref_base.Classifiers = types.SimpleNamespace(get=patched_get)
+        if hasattr(ref_base, 'efn'):
+            saved['efn'] = ref_base.efn
+            ref_base.efn = types.SimpleNamespace(**{
+                n: wrap(getattr(ref_base.efn, n))
+                for n in ('EfficientNetB2', 'EfficientNetB3',
+                          'EfficientNetB4')
+                if hasattr(ref_base.efn, n)})
+        try:
+            yield
+        finally:
+            for n, v in saved.items():
+                setattr(ref_base, n, v)
+
+    with no_imagenet():
+        backbone_net = rml.build_backbone_network(rcfg)
+        det = rml.build_detection_network(rcfg)
+        ins = rml.build_instance_network(rcfg)
+        sem = rml.build_semantic_network(rcfg)
+        return rml.construct_inference_network(rcfg, backbone_net, det,
+                                               sem, ins)
+
+
 def save_reference_h5(model, path: str) -> None:
     """Save a (transplanted) reference network's weights in the Keras
     legacy h5 layout under ``model_weights`` — the section the reference

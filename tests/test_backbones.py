@@ -68,6 +68,23 @@ def test_freeze_mask_depths():
     assert module_frozen('mobilenet', 'pw5', 'C3')
     assert not module_frozen('mobilenet', 'dw6', 'C3')
     assert module_frozen('mobilenet', 'pw13', 'C5')
+    # seresnext50: its C2-C4 taps are post-conv1 relus inside the NEXT
+    # stage's first block, so the layer-order cutoff also freezes that
+    # block's conv1+bn1 (ADVICE r3)
+    assert module_frozen('seresnext50', 'stage3', 'C3')
+    assert module_frozen('seresnext50',
+                         'stage4/BottleneckBlock_0/Conv_0', 'C3')
+    assert module_frozen('seresnext50',
+                         'stage4/BottleneckBlock_0/_BN_0', 'C3')
+    assert not module_frozen('seresnext50',
+                             'stage4/BottleneckBlock_0/Conv_1', 'C3')
+    assert not module_frozen('seresnext50',
+                             'stage4/BottleneckBlock_1/Conv_0', 'C3')
+    assert module_frozen('seresnext50', 'stage5', 'C5')
+    assert not module_frozen('seresnext50', 'extras_P6_conv', 'C5')
+    # plain resnext50 keeps whole-stage granularity (no inner taps)
+    assert not module_frozen('resnext50',
+                             'stage4/BottleneckBlock_0/Conv_0', 'C3')
 
 
 @pytest.mark.parametrize('name', ['efficientnetb2', 'efficientnetb3',

@@ -23,6 +23,68 @@ def test_export_writes_serving_config(tmp_path):
     assert payload['postprocess']['smoothing_kernel_sizes'] == [5, 5, 0]
 
 
+def test_export_bundle_serve_roundtrip(tmp_path):
+    """export --dest writes a self-contained versioned bundle (checkpoint
+    + config.json + serving_config.json — the reference's versioned
+    SavedModel deployment contract, setup/serving.py:56-84) that the
+    serve-side predictor loader consumes by path alone."""
+    import os
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from masklab_tpu import ModelConfiguration
+    from masklab_tpu.cli import _build_predictor, main
+    from masklab_tpu.models import build_masklab
+    from masklab_tpu.train import TrainState, rectified_adam
+    from masklab_tpu.train.checkpoints import CheckpointManager
+
+    cfg = ModelConfiguration()
+    cfg.backbone.backbone_type = 'mobilenet'
+    cfg.backbone.backbone_outputs = ('C3', 'C4', 'C5')
+    cfg.backbone.num_features = 16
+    cfg.detection.num_features = 16
+    cfg.detection.num_depth = 1
+    cfg.detection.nms_max_output_size = 4
+    cfg.instance.num_features = 16
+    cfg.instance.num_depth = 1
+    cfg.instance.crop_size = (7, 7)
+    cfg.semantic.num_aspp_features = 16
+    cfg.semantic.num_features = 16
+    cfg.semantic.num_depth = 1
+    cfg.loss.nms_max_output_size = 4
+    cfg.compute.nms_candidates_per_class = 8
+    cfg.postprocess.resolution = (64, 64)
+    model = build_masklab(cfg)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 64, 64, 3)))
+    save_dir = str(tmp_path / 'run')
+    mgr = CheckpointManager(save_dir, cfg)
+    mgr.save_epoch(TrainState.create(variables, rectified_adam(1e-3)),
+                   loss=0.5, epoch=1)
+
+    dest = str(tmp_path / 'bundles')
+    main(['export', save_dir, f'--dest={dest}',
+          '-postprocess.instance_alpha', '0.7'])
+    bundle = os.path.join(dest, '1')
+    assert os.path.isdir(bundle)
+    assert os.path.exists(os.path.join(bundle, 'config.json'))
+    assert os.path.exists(os.path.join(bundle, 'serving_config.json'))
+    # versioning: a second export lands in 2/
+    main(['export', save_dir, f'--dest={dest}'])
+    assert os.path.isdir(os.path.join(dest, '2'))
+
+    # the bundle serves with ZERO context from the training run
+    predictor = _build_predictor(ModelConfiguration(), bundle)
+    assert predictor.config.postprocess.instance_alpha == 0.7
+    assert (predictor.config.backbone.backbone_type
+            == cfg.backbone.backbone_type)
+    out = predictor.predict(np.zeros((64, 64, 3), np.uint8), 'summarize')
+    assert 'summarize' in out
+
+
 def test_load_config_overrides():
     cfg = _load_config(['-train.batch_size', '4',
                         '-backbone.backbone_type', 'mobilenetv2',

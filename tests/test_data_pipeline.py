@@ -92,6 +92,24 @@ def test_multiprocess_loader(data_dir):
         assert b['images'].shape[1] % 32 == 0
 
 
+def test_multiprocess_loader_scale_rng_advances_without_shuffle(data_dir):
+    """With shuffle=False the scale-bucket rng must still advance across
+    epochs (ADVICE r3: it collapsed to `index` alone, so every epoch drew
+    identical scale buckets — unlike the in-process generator)."""
+    from masklab_tpu.data import MultiprocessLoader
+    ds = MaskLabDataset(data_dir=data_dir, min_area=100.0)
+    loader = MultiprocessLoader(
+        ds.get_config(), num_workers=1, batch_size=2, shuffle=False,
+        scale_ratio=(0.25, 1.0),
+        scale_buckets=(0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0))
+    shapes = []
+    for _ in range(4):  # 4 epochs
+        shapes.append(tuple(b['images'].shape[1] for b in loader))
+    loader.close()
+    assert len(set(shapes)) > 1, (
+        f'scale buckets identical across 4 no-shuffle epochs: {shapes[0]}')
+
+
 def test_imglab_roundtrip(data_dir):
     import json
     path = os.path.join(data_dir, 'labels', 'car', 'labels.json')

@@ -409,3 +409,32 @@ def test_nms_jit_cache_is_scope_keyed():
     # and the results agree (the scope changes lowering, not semantics)
     np.testing.assert_allclose(np.asarray(out_plain),
                                np.asarray(out_scoped), atol=1e-6)
+
+
+def test_nms_jit_cache_is_bounded():
+    """The scope-keyed cache embeds live Mesh objects in its keys; without
+    a bound, every recreated trainer/test mesh is pinned forever (ADVICE
+    r3). Oldest entries must be evicted past the cap."""
+    import numpy as np
+    from masklab_tpu.ops import nms as nms_mod
+    from masklab_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(0)
+    cls_pred = jnp.asarray(rng.rand(8, 64, 3).astype(np.float32))
+    boxes = jnp.asarray(
+        np.stack([rng.uniform(30, 90, (8, 64)), rng.uniform(30, 90, (8, 64)),
+                  rng.uniform(5, 40, (8, 64)), rng.uniform(5, 40, (8, 64))],
+                 -1).astype(np.float32))
+    nms_mod._NMS_JIT_CACHE.clear()
+    for _ in range(nms_mod._NMS_JIT_CACHE_MAX + 3):
+        mesh = make_mesh(data=8, model=1)  # fresh Mesh = fresh scope key
+        with nms_mod.shard_local_nms(mesh):
+            nms_mod.batched_class_aware_nms(cls_pred, boxes, max_outputs=8,
+                                            candidates_per_class=16)
+    assert len(nms_mod._NMS_JIT_CACHE) <= nms_mod._NMS_JIT_CACHE_MAX
+    # most recent scope survived; re-calling it does not grow the cache
+    with nms_mod.shard_local_nms(mesh):
+        nms_mod.batched_class_aware_nms(cls_pred, boxes, max_outputs=8,
+                                        candidates_per_class=16)
+    assert len(nms_mod._NMS_JIT_CACHE) <= nms_mod._NMS_JIT_CACHE_MAX
+    nms_mod._NMS_JIT_CACHE.clear()

@@ -175,6 +175,27 @@ class TestFusedConvGN:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-5)
 
+    def test_none_bias_differentiates(self):
+        """conv_bias=None must work under grad: it is normalized to zeros
+        BEFORE the custom_vjp boundary (ADVICE r3 — a None saved in
+        residuals crashed the backward's XLA recomputation)."""
+        from masklab_tpu.ops.pallas.conv_gn_kernel import fused_conv_gn
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(rng.randn(2, 14, 14, 32).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, 32, 32).astype(np.float32) * 0.05)
+        sc = jnp.asarray(rng.rand(32).astype(np.float32))
+        bi = jnp.asarray(rng.rand(32).astype(np.float32))
+        zeros = jnp.zeros((32,), jnp.float32)
+
+        def loss(x, k, sc, bi, cb):
+            return jnp.sum(fused_conv_gn(x, k, cb, sc, bi, 16, 1e-5))
+
+        g_none = jax.grad(loss, argnums=(0, 1, 2, 3))(x, k, sc, bi, None)
+        g_zero = jax.grad(loss, argnums=(0, 1, 2, 3))(x, k, sc, bi, zeros)
+        for a, b in zip(g_none, g_zero):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
     def test_headblock_fused_path_matches_module_path(self, monkeypatch):
         """Force the fused route on CPU (interpret mode) and check it
         produces the module path's output from the SAME parameter tree —
