@@ -301,5 +301,10 @@ def train_masklab_model(config: ModelConfiguration,
         path = os.path.join(t.save_dir, artifact)
         if os.path.exists(path):
             trainer.mlflow.log_artifact(path)
+    # the best WEIGHTS travel to MLflow too (the reference logged the best
+    # h5 into the run, road_project/train.py:86-87)
+    best = trainer.ckpt.best_checkpoint()
+    if best is not None:
+        trainer.mlflow.log_artifact_dir(best, os.path.basename(best))
     trainer.metrics_logger.close()
     return trainer

@@ -86,6 +86,12 @@ class MLflowLogger:
         if self._mlflow:
             self._mlflow.log_artifact(path)
 
+    def log_artifact_dir(self, path: str, name: Optional[str] = None) -> None:
+        """A whole directory (an orbax checkpoint — the reference logged
+        the best h5 weights file, road_project/train.py:86-87)."""
+        if self._mlflow:
+            self._mlflow.log_artifacts(path, artifact_path=name)
+
     def close(self):
         if self._mlflow:
             self._mlflow.end_run()
