@@ -66,6 +66,38 @@ def pyramid_roi_align(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     return crops
 
 
+class _PixelShuffleUp(nn.Module):
+    """``nn.ConvTranspose((2, 2), strides=(2, 2), 'SAME')`` in PACKED form.
+
+    Kernel 2x2 / stride 2 is non-overlapping, so every output pixel is one
+    [C_in] x [C_in, F] matvec: out[2i+dy, 2j+dx, f] =
+    x[i, j] . kernel[1-dy, 1-dx, :, f] + bias (orientation pinned by
+    tests/test_fused_mask_head.py against nn.ConvTranspose). Computing it
+    as one einsum that KEEPS the [B, h, w, 2, 2, F] packed layout lets the
+    relu + 1x1 output conv that follow run before any spatial relayout —
+    the old lowering materialized the [N, 2h, 2w, F] upsampled tensor
+    through HBM twice (ConvTranspose out + relu out) for F=256 channels,
+    when only the `num_classes`-channel FINAL tensor needs that layout.
+
+    Param names/shapes are identical to nn.ConvTranspose (kernel
+    [2, 2, C_in, F], bias [F]) — checkpoints and the reference h5
+    import/export converters are unaffected.
+    """
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kernel = self.param('kernel', normal_init(0.01),
+                            (2, 2, c_in, self.features), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        k = kernel[::-1, ::-1].astype(self.dtype)
+        y = jnp.einsum('bhwc,yxcf->bhwyxf', x.astype(self.dtype), k)
+        return y + bias.astype(self.dtype)        # [B, h, w, 2, 2, F]
+
+
 class _LevelMaskHead(nn.Module):
     """One pyramid level's mask head: [N,h,w,C] -> [N,2h,2w,classes]."""
     num_classes: int
@@ -84,13 +116,20 @@ class _LevelMaskHead(nn.Module):
                       self.use_separable_conv, self.expand_ratio,
                       self.use_squeeze_excite, self.squeeze_ratio,
                       self.groups, self.dtype, name='block')(x)
-        x = nn.ConvTranspose(self.num_features, (2, 2), strides=(2, 2),
-                             padding='SAME', kernel_init=normal_init(0.01),
-                             dtype=self.dtype, name='upsample')(x)
-        x = nn.relu(x)
-        x = nn.Conv(self.num_classes, (1, 1), kernel_init=normal_init(0.01),
-                    dtype=self.dtype, name='output')(x)
-        return nn.sigmoid(x)
+        # upsample + relu + 1x1 sigmoid output, all in the packed
+        # pixel-shuffle layout; only the tiny num_classes-channel result
+        # pays the depth-to-space relayout (see _PixelShuffleUp)
+        y = _PixelShuffleUp(self.num_features, self.dtype,
+                            name='upsample')(x)   # [N, h, w, 2, 2, F]
+        y = nn.relu(y)
+        n, h, w = y.shape[0], y.shape[1], y.shape[2]
+        y = y.reshape(n, h, w * 4, self.num_features)
+        y = nn.Conv(self.num_classes, (1, 1), kernel_init=normal_init(0.01),
+                    dtype=self.dtype, name='output')(y)
+        y = nn.sigmoid(y)
+        y = y.reshape(n, h, w, 2, 2, self.num_classes)
+        return y.transpose(0, 1, 3, 2, 4, 5).reshape(
+            n, 2 * h, 2 * w, self.num_classes)
 
 
 class MaskSubNet(nn.Module):

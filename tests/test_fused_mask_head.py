@@ -85,3 +85,68 @@ def test_fused_head_gradients():
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
     assert sum(float(np.abs(np.asarray(g)).sum()) for g in leaves) > 0
+
+
+class TestPackedUpsampleEpilogue:
+    """_LevelMaskHead's packed pixel-shuffle epilogue (models/instance.py
+    _PixelShuffleUp): identical params, identical outputs vs the plain
+    nn.ConvTranspose -> relu -> 1x1 conv -> sigmoid composition."""
+
+    def _composition(self, params, x, num_classes, dtype=jnp.float32):
+        from flax import linen as nn
+
+        up = nn.ConvTranspose(params['upsample']['kernel'].shape[-1],
+                              (2, 2), strides=(2, 2), padding='SAME',
+                              dtype=dtype)
+        y = up.apply({'params': params['upsample']}, x)
+        y = jax.nn.relu(y)
+        out = nn.Conv(num_classes, (1, 1), dtype=dtype)
+        y = out.apply({'params': params['output']}, y)
+        return jax.nn.sigmoid(y)
+
+    def test_matches_conv_transpose_composition(self):
+        from masklab_tpu.models.instance import _LevelMaskHead
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(3, 14, 14, 32).astype(np.float32))
+        head = _LevelMaskHead(num_classes=4, num_depth=1, num_features=32,
+                              use_separable_conv=False, expand_ratio=4.0,
+                              use_squeeze_excite=False, squeeze_ratio=16.0,
+                              groups=16, dtype=jnp.float32)
+        params = head.init(jax.random.PRNGKey(0), x)['params']
+        # random (not zero-init) epilogue weights so the parity is real
+        params = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.randn(*p.shape).astype(np.float32)
+                                  * 0.1), params)
+        got = head.apply({'params': params}, x)
+
+        # ground truth: run the block, then the stock composition
+        from masklab_tpu.nn.layers import HeadBlock
+        block = HeadBlock(1, 32, False, 4.0, False, 16.0, 16, jnp.float32)
+        mid = block.apply({'params': params['block']}, x)
+        want = self._composition(params, mid, num_classes=4)
+        assert got.shape == want.shape == (3, 28, 28, 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+    def test_gradients_flow(self):
+        from masklab_tpu.models.instance import _LevelMaskHead
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(2, 7, 7, 16).astype(np.float32))
+        head = _LevelMaskHead(num_classes=3, num_depth=1, num_features=16,
+                              use_separable_conv=False, expand_ratio=4.0,
+                              use_squeeze_excite=False, squeeze_ratio=16.0,
+                              groups=8, dtype=jnp.float32)
+        variables = head.init(jax.random.PRNGKey(0), x)
+
+        def loss(v):
+            return jnp.sum(head.apply(v, x) ** 2)
+
+        g = jax.grad(loss)(variables)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        # upsample + output grads are non-zero
+        assert float(jnp.abs(
+            g['params']['upsample']['kernel']).sum()) > 0.0
+        assert float(jnp.abs(g['params']['output']['kernel']).sum()) > 0.0
