@@ -30,16 +30,40 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_FPS = 30.0
 
 
-def _acquire_devices(budget_s=600.0, first_wait=15.0):
+def _probe_backend_subprocess(timeout_s):
+    """Try backend init in a KILLABLE subprocess.
+
+    Two outage shapes have been observed on the tunnel: a raised
+    `UNAVAILABLE` (round 3's rc=1) and an indefinite HANG inside backend
+    init (round 4). An in-process `jax.devices()` cannot be cancelled, so a
+    hang would stall the driver capture forever; probing in a subprocess
+    bounds every attempt. Returns (ok, detail).
+    """
+    import subprocess
+    try:
+        proc = subprocess.run(
+            [sys.executable, '-c', 'import jax; jax.devices()'],
+            capture_output=True, text=True, timeout=timeout_s,
+            env=os.environ.copy())
+    except subprocess.TimeoutExpired:
+        return False, f'backend init hang (> {timeout_s:.0f}s, killed)'
+    if proc.returncode == 0:
+        return True, ''
+    tail = (proc.stderr or '').strip().splitlines()
+    return False, tail[-1][:200] if tail else f'rc={proc.returncode}'
+
+
+def _acquire_devices(budget_s=600.0, first_wait=15.0, probe_timeout=150.0):
     """Bounded retry-with-backoff around first device acquisition.
 
     The TPU backend here rides a tunnel that has outages (round 3 lost its
-    driver-recorded number to a transient `UNAVAILABLE` at capture time).
-    Backend init happens implicitly at the first jnp call, so force it
-    eagerly and retry: a late-but-valid number beats an rc=1 hole.
+    driver-recorded number to a transient `UNAVAILABLE` at capture time;
+    round 4 saw init HANG instead of raising). Each attempt first probes in
+    a killable subprocess (hang-proof), then inits in-process only after a
+    probe succeeds: a late-but-valid number beats an rc=1 hole.
 
-    Returns the device list. Raises the last error once the budget is spent.
-    Retries are only attempted for availability-shaped errors; anything else
+    Returns the device list. Raises once the budget is spent. Only
+    availability-shaped in-process errors are retried; anything else
     (import errors, config bugs) surfaces immediately.
     """
     import jax
@@ -47,24 +71,38 @@ def _acquire_devices(budget_s=600.0, first_wait=15.0):
     deadline = time.monotonic() + budget_s
     wait = first_wait
     attempt = 0
+    last_detail = 'no attempts made'
     while True:
         attempt += 1
-        try:
-            return jax.devices()
-        except Exception as exc:  # noqa: BLE001
-            msg = str(exc)
-            transient = ('UNAVAILABLE' in msg or 'DEADLINE_EXCEEDED' in msg
-                         or 'Unable to initialize backend' in msg)
-            remaining = deadline - time.monotonic()
-            if not transient or remaining <= 0:
-                raise
-            sleep_s = min(wait, remaining)
-            print(f'bench: device acquisition attempt {attempt} failed '
-                  f'({msg.splitlines()[0][:120]}); retrying in '
-                  f'{sleep_s:.0f}s ({remaining:.0f}s budget left)',
-                  file=sys.stderr)
-            time.sleep(sleep_s)
-            wait = min(wait * 2, 120.0)
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            raise RuntimeError(
+                f'device acquisition budget ({budget_s:.0f}s) spent after '
+                f'{attempt - 1} attempts; last: {last_detail}')
+        ok, detail = _probe_backend_subprocess(
+            min(probe_timeout, max(remaining, 30.0)))
+        if ok:
+            try:
+                return jax.devices()
+            except Exception as exc:  # noqa: BLE001
+                detail = str(exc).splitlines()[0][:200]
+                transient = ('UNAVAILABLE' in detail
+                             or 'DEADLINE_EXCEEDED' in detail
+                             or 'Unable to initialize backend' in detail)
+                if not transient:
+                    raise
+        last_detail = detail
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            raise RuntimeError(
+                f'device acquisition budget ({budget_s:.0f}s) spent after '
+                f'{attempt} attempts; last: {last_detail}')
+        sleep_s = min(wait, remaining)
+        print(f'bench: device acquisition attempt {attempt} failed '
+              f'({detail}); retrying in {sleep_s:.0f}s '
+              f'({remaining:.0f}s budget left)', file=sys.stderr)
+        time.sleep(sleep_s)
+        wait = min(wait * 2, 120.0)
 
 # bf16 peak FLOP/s per chip by device kind (dense MXU)
 _PEAK_BF16 = (

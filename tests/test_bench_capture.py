@@ -27,8 +27,14 @@ class _FlakyDevices:
         return ['fake-device']
 
 
+def _probe_ok(monkeypatch):
+    monkeypatch.setattr(bench, '_probe_backend_subprocess',
+                        lambda timeout_s: (True, ''))
+
+
 def test_acquire_devices_retries_transient(monkeypatch):
     import jax
+    _probe_ok(monkeypatch)
     flaky = _FlakyDevices(
         2, "Unable to initialize backend 'axon': UNAVAILABLE: "
            'TPU backend setup/compile error (Unavailable).')
@@ -40,6 +46,7 @@ def test_acquire_devices_retries_transient(monkeypatch):
 
 def test_acquire_devices_raises_nontransient_immediately(monkeypatch):
     import jax
+    _probe_ok(monkeypatch)
     flaky = _FlakyDevices(99, 'some config bug, not an outage')
     monkeypatch.setattr(jax, 'devices', flaky)
     with pytest.raises(RuntimeError, match='config bug'):
@@ -49,11 +56,50 @@ def test_acquire_devices_raises_nontransient_immediately(monkeypatch):
 
 def test_acquire_devices_respects_budget(monkeypatch):
     import jax
+    _probe_ok(monkeypatch)
     flaky = _FlakyDevices(99, 'UNAVAILABLE: tunnel down')
     monkeypatch.setattr(jax, 'devices', flaky)
     with pytest.raises(RuntimeError, match='UNAVAILABLE'):
         bench._acquire_devices(budget_s=0.05, first_wait=0.01)
     assert flaky.calls >= 2  # retried at least once before giving up
+
+
+def test_acquire_devices_survives_init_hang(monkeypatch):
+    """Round-4 outage shape: backend init HANGS instead of raising. The
+    killable subprocess probe must bound each attempt and keep the
+    in-process backend untouched until a probe succeeds."""
+    import jax
+    probes = {'n': 0}
+
+    def fake_probe(timeout_s):
+        probes['n'] += 1
+        if probes['n'] <= 2:
+            return False, f'backend init hang (> {timeout_s:.0f}s, killed)'
+        return True, ''
+
+    devices_calls = {'n': 0}
+
+    def fake_devices():
+        devices_calls['n'] += 1
+        return ['fake-device']
+
+    monkeypatch.setattr(bench, '_probe_backend_subprocess', fake_probe)
+    monkeypatch.setattr(jax, 'devices', fake_devices)
+    out = bench._acquire_devices(budget_s=5.0, first_wait=0.01)
+    assert out == ['fake-device']
+    assert probes['n'] == 3
+    assert devices_calls['n'] == 1  # never touched while probes failed
+
+
+def test_acquire_devices_hang_exhausts_budget(monkeypatch):
+    import jax
+    monkeypatch.setattr(
+        bench, '_probe_backend_subprocess',
+        lambda timeout_s: (False, 'backend init hang (> 1s, killed)'))
+    monkeypatch.setattr(jax, 'devices',
+                        lambda: pytest.fail('must not init in-process'))
+    with pytest.raises(RuntimeError, match='hang'):
+        bench._acquire_devices(budget_s=0.05, first_wait=0.01)
 
 
 def test_run_emits_parseable_json_error_line(monkeypatch, capsys):
