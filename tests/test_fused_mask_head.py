@@ -129,6 +129,35 @@ class TestPackedUpsampleEpilogue:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
 
+    def test_matches_composition_bf16(self):
+        """The packed epilogue must hold at BOTH compute dtypes (round-3
+        lesson: a precision-gated path tested only at f32 hid a dead
+        branch). bf16 runs the exact same graph in bf16; tolerance covers
+        bf16 rounding of sigmoid outputs (values in [0, 1])."""
+        from masklab_tpu.models.instance import _LevelMaskHead
+
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(2, 14, 14, 32).astype(np.float32))
+        head = _LevelMaskHead(num_classes=4, num_depth=1, num_features=32,
+                              use_separable_conv=False, expand_ratio=4.0,
+                              use_squeeze_excite=False, squeeze_ratio=16.0,
+                              groups=16, dtype=jnp.bfloat16)
+        params = head.init(jax.random.PRNGKey(0), x)['params']
+        params = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.randn(*p.shape).astype(np.float32)
+                                  * 0.1), params)
+        got = head.apply({'params': params}, x)
+        assert got.dtype == jnp.bfloat16
+
+        from masklab_tpu.nn.layers import HeadBlock
+        block = HeadBlock(1, 32, False, 4.0, False, 16.0, 16, jnp.bfloat16)
+        mid = block.apply({'params': params['block']}, x)
+        want = self._composition(params, mid, num_classes=4,
+                                 dtype=jnp.bfloat16)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=2e-2)
+
     def test_gradients_flow(self):
         from masklab_tpu.models.instance import _LevelMaskHead
 
