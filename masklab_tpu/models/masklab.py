@@ -180,7 +180,8 @@ class MaskLab(nn.Module):
             nms_iou_threshold=det.nms_iou_threshold,
             post_iou_threshold=det.post_iou_threshold,
             max_outputs=det.nms_max_output_size,
-            candidates_per_class=cfg.compute.nms_candidates_per_class)
+            candidates_per_class=cfg.compute.nms_candidates_per_class,
+            scores_bf16_exact=self.dtype == jnp.bfloat16)
         roi_masks = self.mask_branch(out['features'], proposals,
                                      out['image_hw'])
         return dict(cls_pred=out['cls_pred'], loc_pred=out['loc_pred'],
@@ -201,7 +202,8 @@ class MaskLab(nn.Module):
             nms_iou_threshold=loss_cfg.nms_iou_threshold,
             post_iou_threshold=loss_cfg.post_iou_threshold,
             max_outputs=loss_cfg.nms_max_output_size,
-            candidates_per_class=cfg.compute.nms_candidates_per_class)
+            candidates_per_class=cfg.compute.nms_candidates_per_class,
+            scores_bf16_exact=self.dtype == jnp.bfloat16)
         chosen = jnp.concatenate(
             [gt_boxes.astype(jnp.float32), proposals], axis=1)
         roi_masks = self.mask_branch(out['features'], chosen,
@@ -214,7 +216,8 @@ class MaskLab(nn.Module):
             nms_iou_threshold=det.nms_iou_threshold,
             post_iou_threshold=det.post_iou_threshold,
             max_outputs=det.nms_max_output_size,
-            candidates_per_class=cfg.compute.nms_candidates_per_class)
+            candidates_per_class=cfg.compute.nms_candidates_per_class,
+            scores_bf16_exact=self.dtype == jnp.bfloat16)
         out.update(roi_boxes=chosen, roi_masks=roi_masks,
                    metric_proposals=metric_proposals)
         return out

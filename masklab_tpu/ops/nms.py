@@ -72,7 +72,7 @@ def _shard_scope():
 
 
 def candidate_pool(scores: jnp.ndarray, k: int, floor: float,
-                   sort_below: int = 32768):
+                   sort_below: int = 32768, bf16_exact: bool = False):
     """Top-k candidate pool without a full [.., N] sort.
 
     Equivalent to ``jax.lax.top_k(masked, k)`` *for NMS purposes*: the
@@ -110,6 +110,11 @@ def candidate_pool(scores: jnp.ndarray, k: int, floor: float,
       scores: [..., N], invalid entries pre-masked to a value < floor.
       k: pool size.
       floor: validity threshold (NMS min_confidence).
+      bf16_exact: caller's STATIC guarantee that every score value is
+        exactly representable in bfloat16 (true whenever the upstream
+        network computed them in bf16, whatever dtype they arrive in).
+        Enables the single-key composite sort in step 2 — see
+        ``_pool_body``.
     Returns:
       (values [..., k], indices [..., k]).
     """
@@ -130,22 +135,24 @@ def candidate_pool(scores: jnp.ndarray, k: int, floor: float,
         parts = mesh.shape[axis] if mesh is not None else 0
         if mesh is None or scores.ndim < 2 or scores.shape[0] % parts:
             return tuple(jax.lax.top_k(scores, k))
-        return _pool_sharded(scores, k, floor, mesh, axis)
-    return _pool_body(scores, k=k, floor=floor)
+        return _pool_sharded(scores, k, floor, mesh, axis, bf16_exact)
+    return _pool_body(scores, k=k, floor=floor, bf16_exact=bf16_exact)
 
 
-def _pool_sharded(scores: jnp.ndarray, k: int, floor: float, mesh, axis):
+def _pool_sharded(scores: jnp.ndarray, k: int, floor: float, mesh, axis,
+                  bf16_exact: bool = False):
     """The pool body under shard_map: per-device certificate + branch,
     zero collectives (rows never cross shards, so results are identical
     to the global form)."""
     from jax.sharding import PartitionSpec as P
     spec = P(axis, *([None] * (scores.ndim - 1)))
-    body = partial(_pool_body, k=k, floor=floor)
+    body = partial(_pool_body, k=k, floor=floor, bf16_exact=bf16_exact)
     return jax.shard_map(body, mesh=mesh, in_specs=(spec,),
                          out_specs=(spec, spec))(scores)
 
 
-def _pool_body(scores: jnp.ndarray, k: int, floor: float):
+def _pool_body(scores: jnp.ndarray, k: int, floor: float,
+               bf16_exact: bool = False):
     """The sort-free pool on (a shard of) ``scores`` — see candidate_pool."""
     *batch, n = scores.shape
     cap = 16
@@ -184,11 +191,45 @@ def _pool_body(scores: jnp.ndarray, k: int, floor: float):
     cand_i = idxs3.reshape(*batch, cap * s)
 
     # lexicographic (value desc, index asc) candidate order — identical
-    # tie-breaking to lax.top_k
-    neg, sidx = jax.lax.sort(
-        (-cand_v, cand_i), dimension=-1, num_keys=2, is_stable=False)
-    top_v = -neg[..., :k]
-    top_i = sidx[..., :k]
+    # tie-breaking to lax.top_k. With bf16-exact scores the two-operand
+    # variadic sort collapses to ONE uint32 key: a POSITIVE bf16's bit
+    # pattern is a uint16 <= 0x7F80 (+inf) MONOTONE in the value, so
+    # pattern+1 fits 15 bits (rank 0 is reserved for non-positives: all
+    # of them sit below any positive ``floor``, so their mutual order is
+    # erased by ``fast``'s sub-floor masking and by the certificate's
+    # conservative -inf decode), and the low 17 bits hold the inverted
+    # index for the exact lowest-index tie-break. 15 + 17 = 32: the
+    # round-3 "composite keys need i64" objection dissolves once the
+    # value half is bf16 bits instead of f32 bits.
+    idx_bits = 17
+    # the index field must hold every PADDED index (base_idx runs to
+    # s*m - 1, not n - 1), hence the gate on s * m; the & mask below is
+    # wrap insurance on top
+    use_composite = (bf16_exact and floor > 0.0 and s * m <= (1 << idx_bits))
+    if use_composite:
+        mask_i = jnp.uint32((1 << idx_bits) - 1)
+        u = jax.lax.bitcast_convert_type(
+            cand_v.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+        # NaN (never produced by sigmoid scores, but harmless) collapses
+        # with the non-positives: > 0.0 is False for it
+        vpart = jnp.where(cand_v > 0.0, u + jnp.uint32(1), jnp.uint32(0))
+        key = (vpart << idx_bits) | ((mask_i - cand_i.astype(jnp.uint32))
+                                     & mask_i)
+        flipped = jax.lax.sort(~key, dimension=-1, is_stable=False)
+        top_key = ~flipped[..., :k]
+        top_i = (mask_i - (top_key & mask_i)).astype(jnp.int32)
+        vp = top_key >> idx_bits
+        top_v = jnp.where(
+            vp > 0,
+            jax.lax.bitcast_convert_type(
+                (vp - jnp.uint32(1)).astype(jnp.uint16),
+                jnp.bfloat16).astype(jnp.float32),
+            -jnp.inf)
+    else:
+        neg, sidx = jax.lax.sort(
+            (-cand_v, cand_i), dimension=-1, num_keys=2, is_stable=False)
+        top_v = -neg[..., :k]
+        top_i = sidx[..., :k]
 
     # tie-robust exactness certificate on composite (value, index) keys:
     # an element can only be missing from the extraction if its segment
@@ -299,10 +340,15 @@ def _nms_impl(cls_pred: jnp.ndarray, boxes: jnp.ndarray,
               nms_iou_threshold: float,
               post_iou_threshold: float,
               max_outputs: int,
-              candidates_per_class: int) -> jnp.ndarray:
+              candidates_per_class: int,
+              scores_bf16_exact: bool = False) -> jnp.ndarray:
     b, n, num_classes = cls_pred.shape
     kc = min(candidates_per_class, n)
     boxes = boxes.astype(jnp.float32)
+    # bf16 upstream scores stay bf16-exact through the f32 cast and the
+    # -1.0 masking below — a STATIC guarantee that lets the pool's step-2
+    # sort use single-key composite ordering (see _pool_body)
+    bf16_exact = scores_bf16_exact or cls_pred.dtype == jnp.bfloat16
     cls_pred = cls_pred.astype(jnp.float32)
     boxes_yxyx = cxcywh_to_yxyx(boxes)                         # pixel coords
 
@@ -311,7 +357,8 @@ def _nms_impl(cls_pred: jnp.ndarray, boxes: jnp.ndarray,
     scores_t = jnp.swapaxes(cls_pred, 1, 2)                    # [B, C, N]
     masked = jnp.where(scores_t >= min_confidence, scores_t, -1.0)
     top_scores, top_idx = candidate_pool(masked, kc,
-                                         floor=min_confidence)  # [B, C, kc]
+                                         floor=min_confidence,
+                                         bf16_exact=bf16_exact)  # [B, C, kc]
     top_boxes = jax.vmap(
         lambda bb, ii: bb[ii.reshape(-1)].reshape(num_classes, kc, 4))(
             boxes_yxyx, top_idx)
@@ -369,7 +416,8 @@ def batched_class_aware_nms(cls_pred: jnp.ndarray, boxes: jnp.ndarray,
                             nms_iou_threshold: float = 0.4,
                             post_iou_threshold: float = 0.65,
                             max_outputs: int = 100,
-                            candidates_per_class: int = 256) -> jnp.ndarray:
+                            candidates_per_class: int = 256,
+                            scores_bf16_exact: bool = False) -> jnp.ndarray:
     """Batched class-aware two-stage NMS.
 
     Written natively batched rather than as a vmap of a per-image function
@@ -385,6 +433,10 @@ def batched_class_aware_nms(cls_pred: jnp.ndarray, boxes: jnp.ndarray,
     Args:
       cls_pred: [B, N, C] per-anchor per-class sigmoid confidences.
       boxes: [B, N, 4] decoded (cx, cy, w, h) boxes (one set per anchor).
+      scores_bf16_exact: STATIC caller guarantee that every confidence is
+        bf16-representable (the model computed its sigmoid in bf16 even
+        if it handed over f32) — unlocks the candidate pool's single-key
+        composite sort. Inferred automatically when cls_pred IS bf16.
     Returns:
       [B, max_outputs, 6] rows (cx, cy, w, h, class, conf), -1-padded.
     """
@@ -399,7 +451,7 @@ def batched_class_aware_nms(cls_pred: jnp.ndarray, boxes: jnp.ndarray,
             _nms_jittable, static_argnames=(
                 'min_confidence', 'nms_iou_threshold',
                 'post_iou_threshold', 'max_outputs',
-                'candidates_per_class'))
+                'candidates_per_class', 'scores_bf16_exact'))
         while len(_NMS_JIT_CACHE) > _NMS_JIT_CACHE_MAX:
             _NMS_JIT_CACHE.popitem(last=False)
     else:
@@ -408,16 +460,19 @@ def batched_class_aware_nms(cls_pred: jnp.ndarray, boxes: jnp.ndarray,
         cls_pred, boxes, min_confidence=min_confidence,
         nms_iou_threshold=nms_iou_threshold,
         post_iou_threshold=post_iou_threshold, max_outputs=max_outputs,
-        candidates_per_class=candidates_per_class)
+        candidates_per_class=candidates_per_class,
+        scores_bf16_exact=scores_bf16_exact)
 
 
 def _nms_jittable(cls_pred, boxes, *, min_confidence, nms_iou_threshold,
-                  post_iou_threshold, max_outputs, candidates_per_class):
+                  post_iou_threshold, max_outputs, candidates_per_class,
+                  scores_bf16_exact=False):
     impl = partial(_nms_impl, min_confidence=min_confidence,
                    nms_iou_threshold=nms_iou_threshold,
                    post_iou_threshold=post_iou_threshold,
                    max_outputs=max_outputs,
-                   candidates_per_class=candidates_per_class)
+                   candidates_per_class=candidates_per_class,
+                   scores_bf16_exact=scores_bf16_exact)
     nms = jax.custom_jvp(impl)
 
     @nms.defjvp

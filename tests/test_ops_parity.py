@@ -212,12 +212,13 @@ class TestCandidatePool:
     """candidate_pool == lax.top_k for NMS purposes: identical valid
     (>= floor) prefix in identical order, across regimes."""
 
-    def _check(self, scores, k, floor):
+    def _check(self, scores, k, floor, bf16_exact=False):
         import jax
         from masklab_tpu.ops.nms import candidate_pool
         ref_v, ref_i = jax.lax.top_k(scores, k)
         got_v, got_i = jax.jit(
-            lambda s: candidate_pool(s, k, floor=floor, sort_below=0))(scores)
+            lambda s: candidate_pool(s, k, floor=floor, sort_below=0,
+                                     bf16_exact=bf16_exact))(scores)
         ref_valid = np.asarray(ref_v) >= floor
         got_valid = np.asarray(got_v) >= floor
         np.testing.assert_array_equal(ref_valid, got_valid)
@@ -379,6 +380,101 @@ class TestCandidatePool:
         big_sorts = [ln for ln in txt.splitlines()
                      if re.search(r'sort.*\[[^]]*81[0-9]{3}', ln)]
         assert not big_sorts, big_sorts[:2]
+
+
+class TestCompositeKeyPool:
+    """candidate_pool's single-key composite sort (``bf16_exact=True``):
+    when the caller statically guarantees bf16-representable scores, the
+    step-2 (value desc, index asc) order packs into ONE uint32 key
+    (15-bit monotone bf16 pattern + 17-bit inverted index) and the
+    two-operand variadic sort becomes a single-operand sort. Must match
+    ``lax.top_k``'s valid prefix exactly in every regime."""
+
+    def _quant(self, arr):
+        return np.asarray(jnp.asarray(arr, jnp.bfloat16), np.float32)
+
+    def _check(self, scores, k, floor):
+        TestCandidatePool._check(self, scores, k, floor, bf16_exact=True)
+
+    def test_dense_bf16_ties(self):
+        # the forced-dense bench regime: every anchor confident, heavy
+        # exact ties from bf16 quantization
+        rng = np.random.RandomState(10)
+        q = self._quant(0.5 + rng.rand(2, 3, 40000) * 0.5)
+        self._check(jnp.asarray(q), 256, 0.5)
+
+    def test_sparse(self):
+        rng = np.random.RandomState(11)
+        base = self._quant(rng.rand(2, 2, 40000) * 0.2)
+        masked = jnp.where(jnp.asarray(base) >= 0.5, jnp.asarray(base), -1.0)
+        self._check(masked, 64, 0.5)
+
+    def test_boundary_few_valid(self):
+        rng = np.random.RandomState(12)
+        base = rng.rand(2, 2, 40000) * 0.4
+        for b in range(2):
+            for c in range(2):
+                sel = rng.choice(40000, 50, replace=False)
+                base[b, c, sel] = 0.5 + rng.rand(50) * 0.5
+        base = self._quant(base)
+        masked = jnp.where(jnp.asarray(base) >= 0.5, jnp.asarray(base), -1.0)
+        self._check(masked, 64, 0.5)
+
+    def test_adversarial_segment_overflow_falls_back(self):
+        # >cap confident elements in ONE strided segment: the certificate
+        # must trip and the exact fallback must produce top_k parity
+        n, m = 40000, 128
+        s = -(-n // m)
+        base = np.zeros((1, 1, n), np.float32)
+        for r in range(40):
+            if 3 + r * s < n:
+                base[0, 0, 3 + r * s] = 0.6 + 0.01 * r
+        base = self._quant(base)
+        masked = jnp.where(jnp.asarray(base) >= 0.5, jnp.asarray(base), -1.0)
+        self._check(masked, 16, 0.5)
+
+    def test_index_tiebreak_exact_at_pool_boundary(self):
+        # a plateau of identical values straddling the k-th slot: the
+        # selected subset is determined ONLY by the index tie-break
+        base = np.full((1, 1, 40000), 0.25, np.float32)
+        plateau = self._quant(np.float32(0.75))
+        base[0, 0, 17::97] = plateau             # ~412 identical values
+        masked = jnp.where(jnp.asarray(base) >= 0.5, jnp.asarray(base), -1.0)
+        self._check(masked, 64, 0.5)
+
+    def test_values_above_two_and_inf_stay_exact(self):
+        # monotonicity of the packed key holds for ALL positive bf16
+        # values (up to +inf) — no range premise to violate
+        rng = np.random.RandomState(13)
+        base = self._quant(rng.rand(1, 2, 40000) * 3.0)
+        base[0, 0, 7] = np.inf
+        masked = jnp.where(jnp.asarray(base) >= 0.5, jnp.asarray(base), -1.0)
+        self._check(masked, 64, 0.5)
+
+    def test_compiled_sort_is_single_operand(self):
+        # the HLO proof: with bf16_exact the candidate order comes from a
+        # single-operand uint32 sort; without it, from the two-operand
+        # (value, index) variadic sort
+        import jax
+        from masklab_tpu.ops.nms import candidate_pool
+
+        n = 40000
+        scores = jnp.zeros((1, 1, n), jnp.float32)
+
+        import re
+
+        def sort_arities(bf16_exact):
+            fn = jax.jit(lambda s: candidate_pool(
+                s, 64, floor=0.5, sort_below=0, bf16_exact=bf16_exact))
+            txt = fn.lower(scores).as_text()
+            return [len(m.split(',')) for m in
+                    re.findall(r'"stablehlo.sort"\(([^)]*)\)', txt)]
+
+        composite = sort_arities(True)
+        assert composite and max(composite) == 1, composite
+        legacy = sort_arities(False)
+        assert 2 in legacy, legacy
+
 
 
 def test_nms_jit_cache_is_scope_keyed():
