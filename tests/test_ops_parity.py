@@ -451,6 +451,29 @@ class TestCompositeKeyPool:
         masked = jnp.where(jnp.asarray(base) >= 0.5, jnp.asarray(base), -1.0)
         self._check(masked, 64, 0.5)
 
+    def test_sharded_composite_pool_matches_topk(self):
+        # bf16_exact threads through the shard_map form: per-device
+        # composite sort, exact top_k parity on the 8-device mesh
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from masklab_tpu.ops.nms import _pool_sharded
+        from masklab_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(data=8)
+        rng = np.random.RandomState(14)
+        n = 40000
+        base = self._quant(0.4 + rng.rand(8, 2, n) * 0.6)
+        scores = jax.device_put(jnp.asarray(base),
+                                NamedSharding(mesh, P('data')))
+        fn = jax.jit(lambda x: _pool_sharded(x, 128, 0.5, mesh, 'data',
+                                             bf16_exact=True))
+        got_v, got_i = jax.block_until_ready(fn(scores))
+        ref_v, ref_i = jax.lax.top_k(jnp.asarray(base), 128)
+        valid = np.asarray(ref_v) >= 0.5
+        np.testing.assert_array_equal(
+            np.asarray(got_v)[valid], np.asarray(ref_v)[valid])
+        np.testing.assert_array_equal(
+            np.asarray(got_i)[valid], np.asarray(ref_i)[valid])
+
     def test_compiled_sort_is_single_operand(self):
         # the HLO proof: with bf16_exact the candidate order comes from a
         # single-operand uint32 sort; without it, from the two-operand
