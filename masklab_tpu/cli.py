@@ -233,10 +233,10 @@ def cmd_export(args) -> None:
     from .train.checkpoints import CheckpointManager
     ckpt = CheckpointManager(save_dir, None)
     cfg = ckpt.load_config() or ModelConfiguration()
-    overrides = ModelConfiguration()
-    ns = overrides.get_arg_parser(args=rest)
-    overrides.apply_namespace(ns)
-    cfg.postprocess = overrides.postprocess
+    # parse overrides WITH cfg as the defaults source: flags not passed
+    # keep the run's saved values (a fresh-defaults parse here used to
+    # silently reset every postprocess knob the run had saved/tuned)
+    cfg.apply_namespace(cfg.get_arg_parser(args=rest))
 
     if dest is None:
         cfg.save_json(os.path.join(save_dir, 'serving_config.json'))

@@ -409,6 +409,9 @@ def _nms_impl(cls_pred: jnp.ndarray, boxes: jnp.ndarray,
 # eviction only costs a re-jit if an evicted scope comes back.
 _NMS_JIT_CACHE: 'collections.OrderedDict' = collections.OrderedDict()
 _NMS_JIT_CACHE_MAX = 8
+# serving calls NMS from worker threads; the LRU's evict path would
+# otherwise race a concurrent lookup into a KeyError
+_NMS_JIT_CACHE_LOCK = __import__('threading').Lock()
 
 
 def batched_class_aware_nms(cls_pred: jnp.ndarray, boxes: jnp.ndarray,
@@ -446,17 +449,19 @@ def batched_class_aware_nms(cls_pred: jnp.ndarray, boxes: jnp.ndarray,
     # (e.g. an unscoped eval trace poisoning the scoped train step with
     # the full-sort fallback, or vice versa)
     key = _shard_scope()
-    if key not in _NMS_JIT_CACHE:
-        _NMS_JIT_CACHE[key] = jax.jit(
-            _nms_jittable, static_argnames=(
-                'min_confidence', 'nms_iou_threshold',
-                'post_iou_threshold', 'max_outputs',
-                'candidates_per_class', 'scores_bf16_exact'))
-        while len(_NMS_JIT_CACHE) > _NMS_JIT_CACHE_MAX:
-            _NMS_JIT_CACHE.popitem(last=False)
-    else:
-        _NMS_JIT_CACHE.move_to_end(key)
-    return _NMS_JIT_CACHE[key](
+    with _NMS_JIT_CACHE_LOCK:
+        if key not in _NMS_JIT_CACHE:
+            _NMS_JIT_CACHE[key] = jax.jit(
+                _nms_jittable, static_argnames=(
+                    'min_confidence', 'nms_iou_threshold',
+                    'post_iou_threshold', 'max_outputs',
+                    'candidates_per_class', 'scores_bf16_exact'))
+            while len(_NMS_JIT_CACHE) > _NMS_JIT_CACHE_MAX:
+                _NMS_JIT_CACHE.popitem(last=False)
+        else:
+            _NMS_JIT_CACHE.move_to_end(key)
+        fn = _NMS_JIT_CACHE[key]
+    return fn(
         cls_pred, boxes, min_confidence=min_confidence,
         nms_iou_threshold=nms_iou_threshold,
         post_iou_threshold=post_iou_threshold, max_outputs=max_outputs,

@@ -213,20 +213,14 @@ def build_reference_inference_network(config):
     (engine/retinamasklab.py:420-495) with ImageNet weight loading
     disabled (the caller is about to transplant trained weights in).
 
-    Requires the reference checkout + its TF shims (tests/ref_shim.py) to
+    Requires the reference checkout + its TF shims (utils/ref_shim.py) to
     be importable; raises otherwise — callers treat the h5 interchange as
     best-effort.
     """
     import contextlib
-    import os
-    import sys
     import types
 
-    tests_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))), 'tests')
-    if os.path.isdir(tests_dir) and tests_dir not in sys.path:
-        sys.path.append(tests_dir)
-    from ref_shim import install_shims
+    from .ref_shim import install_shims
     install_shims()
     import engine.backbone.base as ref_base
     from engine import retinamasklab as rml

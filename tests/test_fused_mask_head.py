@@ -98,10 +98,10 @@ class TestPackedUpsampleEpilogue:
         up = nn.ConvTranspose(params['upsample']['kernel'].shape[-1],
                               (2, 2), strides=(2, 2), padding='SAME',
                               dtype=dtype)
-        y = up.apply({'params': params['upsample']}, x)
+        y = jax.jit(up.apply)({'params': params['upsample']}, x)
         y = jax.nn.relu(y)
         out = nn.Conv(num_classes, (1, 1), dtype=dtype)
-        y = out.apply({'params': params['output']}, y)
+        y = jax.jit(out.apply)({'params': params['output']}, y)
         return jax.nn.sigmoid(y)
 
     def test_matches_conv_transpose_composition(self):
@@ -113,17 +113,17 @@ class TestPackedUpsampleEpilogue:
                               use_separable_conv=False, expand_ratio=4.0,
                               use_squeeze_excite=False, squeeze_ratio=16.0,
                               groups=16, dtype=jnp.float32)
-        params = head.init(jax.random.PRNGKey(0), x)['params']
+        params = jax.jit(head.init)(jax.random.PRNGKey(0), x)['params']
         # random (not zero-init) epilogue weights so the parity is real
         params = jax.tree_util.tree_map(
             lambda p: jnp.asarray(rng.randn(*p.shape).astype(np.float32)
                                   * 0.1), params)
-        got = head.apply({'params': params}, x)
+        got = jax.jit(head.apply)({'params': params}, x)
 
         # ground truth: run the block, then the stock composition
         from masklab_tpu.nn.layers import HeadBlock
         block = HeadBlock(1, 32, False, 4.0, False, 16.0, 16, jnp.float32)
-        mid = block.apply({'params': params['block']}, x)
+        mid = jax.jit(block.apply)({'params': params['block']}, x)
         want = self._composition(params, mid, num_classes=4)
         assert got.shape == want.shape == (3, 28, 28, 4)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -142,16 +142,16 @@ class TestPackedUpsampleEpilogue:
                               use_separable_conv=False, expand_ratio=4.0,
                               use_squeeze_excite=False, squeeze_ratio=16.0,
                               groups=16, dtype=jnp.bfloat16)
-        params = head.init(jax.random.PRNGKey(0), x)['params']
+        params = jax.jit(head.init)(jax.random.PRNGKey(0), x)['params']
         params = jax.tree_util.tree_map(
             lambda p: jnp.asarray(rng.randn(*p.shape).astype(np.float32)
                                   * 0.1), params)
-        got = head.apply({'params': params}, x)
+        got = jax.jit(head.apply)({'params': params}, x)
         assert got.dtype == jnp.bfloat16
 
         from masklab_tpu.nn.layers import HeadBlock
         block = HeadBlock(1, 32, False, 4.0, False, 16.0, 16, jnp.bfloat16)
-        mid = block.apply({'params': params['block']}, x)
+        mid = jax.jit(block.apply)({'params': params['block']}, x)
         want = self._composition(params, mid, num_classes=4,
                                  dtype=jnp.bfloat16)
         np.testing.assert_allclose(
@@ -167,12 +167,12 @@ class TestPackedUpsampleEpilogue:
                               use_separable_conv=False, expand_ratio=4.0,
                               use_squeeze_excite=False, squeeze_ratio=16.0,
                               groups=8, dtype=jnp.float32)
-        variables = head.init(jax.random.PRNGKey(0), x)
+        variables = jax.jit(head.init)(jax.random.PRNGKey(0), x)
 
         def loss(v):
             return jnp.sum(head.apply(v, x) ** 2)
 
-        g = jax.grad(loss)(variables)
+        g = jax.jit(jax.grad(loss))(variables)
         leaves = jax.tree_util.tree_leaves(g)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
         # upsample + output grads are non-zero

@@ -158,9 +158,9 @@ def test_failing_bucket_is_evicted_and_requests_degrade():
         assert len(results) == 4
         for i, out in results.items():
             assert int(out['marker'][0]) == i
-        # the failed bucket is gone: nothing >= 4 is ever tried again
-        assert mb.max_batch < 4
-        assert all(b < 4 for b in mb.buckets)
+        # the failed bucket is suspended: nothing >= 4 is tried again
+        # within the cooldown
+        assert all(b < 4 for b in mb.eligible_buckets())
         results2 = {}
         barrier2 = threading.Barrier(4)
 
@@ -176,6 +176,101 @@ def test_failing_bucket_is_evicted_and_requests_degrade():
             t.join(timeout=10)
         assert len(results2) == 4
         assert max(calls[calls.index(4) + 1:]) < 4
+    finally:
+        mb.close()
+
+
+def test_suspended_bucket_reinstates_after_cooldown():
+    """A bucket that failed its FIRST run (possibly a transient outage at
+    compile time) is probed again after the cooldown instead of being
+    lost until restart (round-4 review finding)."""
+    state = {'fail': True}
+    calls = []
+
+    def predict(images):
+        calls.append(images.shape[0])
+        if images.shape[0] >= 4 and state['fail']:
+            raise RuntimeError('outage during first batch-4 run')
+        return {'marker': images[:, 0, 0, 0].astype(np.int32)}
+
+    mb = MicroBatcher(predict, max_batch=4, window_ms=30.0,
+                      evict_cooldown_s=0.3)
+    try:
+        def wave(offset):
+            results = {}
+            barrier = threading.Barrier(4)
+
+            def worker(i):
+                barrier.wait()
+                results[i] = mb.submit(_marked_image(i + offset))
+
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(4)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=10)
+            return results
+
+        first = wave(0)
+        assert len(first) == 4
+        assert all(b < 4 for b in mb.eligible_buckets())
+        state['fail'] = False          # the outage ends
+        time.sleep(0.35)               # cooldown expires
+        assert 4 in mb.eligible_buckets()
+        second = wave(10)
+        assert len(second) == 4
+        for i, out in second.items():
+            assert int(out['marker'][0]) == i + 10
+        # the reinstated bucket actually served a batch-4 group again
+        assert 4 in calls[calls.index(4) + 1:]
+        assert 4 in mb.eligible_buckets()
+    finally:
+        mb.close()
+
+
+def test_warm_bucket_transient_failure_propagates_without_suspension():
+    """A bucket that has served before (lowering proven) must NOT be
+    suspended by a later transient failure — the error reaches the
+    caller and the topology is unchanged, so a tunnel blip cannot walk
+    the server down to batch-1-forever (round-4 review finding)."""
+    state = {'fail': False}
+
+    def predict(images):
+        if state['fail']:
+            raise RuntimeError('UNAVAILABLE: tunnel blip')
+        return {'marker': images[:, 0, 0, 0].astype(np.int32)}
+
+    mb = MicroBatcher(predict, max_batch=2, window_ms=20.0)
+    try:
+        def pair(offset, collect):
+            barrier = threading.Barrier(2)
+            errors = {}
+
+            def worker(i):
+                barrier.wait()
+                try:
+                    collect[i] = mb.submit(_marked_image(i + offset))
+                except RuntimeError as exc:
+                    errors[i] = exc
+
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(2)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=10)
+            return errors
+
+        ok = {}
+        assert not pair(0, ok) and len(ok) == 2    # warms bucket 2
+        state['fail'] = True
+        errs = pair(10, {})
+        assert len(errs) == 2                      # propagated, not hung
+        assert 2 in mb.eligible_buckets()          # no suspension
+        state['fail'] = False
+        ok2 = {}
+        assert not pair(20, ok2) and len(ok2) == 2  # bucket 2 still serves
     finally:
         mb.close()
 
