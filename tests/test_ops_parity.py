@@ -474,6 +474,30 @@ class TestCompositeKeyPool:
         np.testing.assert_array_equal(
             np.asarray(got_i)[valid], np.asarray(ref_i)[valid])
 
+    def test_model_level_bf16_nms_takes_composite_path(self):
+        # wiring guard: batched_class_aware_nms with bf16 cls_pred (the
+        # production compute dtype) must lower the candidate sort as the
+        # single-operand composite form at bench-scale anchor counts
+        import re
+        import jax
+        from masklab_tpu.ops.nms import batched_class_aware_nms
+        n = 81840
+        scores = jnp.zeros((1, n, 2), jnp.bfloat16)
+        boxes = jnp.zeros((1, n, 4), jnp.float32)
+        fn = jax.jit(lambda s, b: batched_class_aware_nms(
+            s, b, min_confidence=0.5, candidates_per_class=256,
+            scores_bf16_exact=True))
+        txt = fn.lower(scores, boxes).as_text()
+        import re as _re
+        arities = [len([a for a in args.split(',') if a.strip()])
+                   for args in _re.findall(r'"stablehlo.sort"\(([^)]*)\)',
+                                           txt)]
+        assert arities, 'no sort found in the lowered NMS'
+        # every sort in the program is single-operand: the pool candidate
+        # sort is the composite-key form, and no two-operand
+        # (value, index) variadic sort remains anywhere
+        assert max(arities) == 1, arities
+
     def test_compiled_sort_is_single_operand(self):
         # the HLO proof: with bf16_exact the candidate order comes from a
         # single-operand uint32 sort; without it, from the two-operand
