@@ -191,6 +191,34 @@ def test_batched_nms_shapes():
     assert out.shape == (3, 10, 6)
 
 
+def test_pool_trim_lossless_in_realistic_regime():
+    """The road preset trims the per-class candidate pool 256 -> 128;
+    whenever fewer than 128 anchors per class clear min_confidence (every
+    realistic road scene — scenes carry ~<=50), the static pool is
+    provably lossless, so the trimmed NMS must match the default
+    bit-for-bit."""
+    rng = np.random.RandomState(7)
+    b, n, c = 2, 4000, 5
+    boxes = jnp.asarray(np.stack([_random_boxes(n) for _ in range(b)]))
+    # ~40 anchors per (image, class) above the 0.05 floor, rest below
+    cls = rng.uniform(0.0, 0.04, (b, n, c)).astype(np.float32)
+    for bi in range(b):
+        for ci in range(c):
+            hot = rng.choice(n, 40, replace=False)
+            cls[bi, hot, ci] = rng.uniform(0.06, 1.0, 40)
+    cls = jnp.asarray(cls)
+    kw = dict(min_confidence=0.05, nms_iou_threshold=0.4,
+              post_iou_threshold=0.65, max_outputs=100)
+    out_128 = np.asarray(batched_class_aware_nms(
+        cls, boxes, candidates_per_class=128, **kw))
+    out_256 = np.asarray(batched_class_aware_nms(
+        cls, boxes, candidates_per_class=256, **kw))
+    np.testing.assert_array_equal(out_128, out_256)
+
+    from masklab_tpu.presets import road_project_config
+    assert road_project_config().compute.nms_candidates_per_class == 128
+
+
 # ---------- morphology ----------
 
 def test_semantic_smoothing_is_min_then_max():
