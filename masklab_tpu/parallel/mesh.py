@@ -44,21 +44,55 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
         lambda x: jax.device_put(x, sh), batch)
 
 
+def spatial_batch_sharding(batch: Dict, mesh: Mesh) -> Dict:
+    """Per-leaf shardings for dp x sp: image-like (4-D) tensors shard
+    batch over 'data' AND height over 'model'; lower-rank tensors (boxes,
+    flags) shard batch only.
+
+    This is SURVEY.md §2.6's spatial-sharding plan ("spatial sharding of
+    feature maps over mesh if >1 chip per image ever needed") applied to
+    the full train step: GSPMD inserts the conv halo exchanges and the
+    height-contraction psums (RoI-align interpolation matmuls, resizes)
+    automatically.
+    """
+    def spec(key, x):
+        if key in ('images', 'gt_seg'):          # [B, H, W, C]
+            axes = P('data', 'model')
+        elif key == 'gt_masks':                  # [B, G, H, W]
+            axes = P('data', None, 'model')
+        else:                                    # boxes / exist flags
+            axes = P('data')
+        return NamedSharding(mesh, axes)
+    return {k: spec(k, v) for k, v in batch.items()}
+
+
+def spatial_shard_batch(batch: Dict, mesh: Mesh) -> Dict:
+    """Device-put a host batch with dp x sp shardings (see
+    :func:`spatial_batch_sharding`)."""
+    return jax.tree_util.tree_map(
+        jax.device_put, batch, spatial_batch_sharding(batch, mesh))
+
+
 def make_parallel_train_step(model, mesh: Mesh, with_metrics: bool = True,
-                             donate: bool = False,
-                             seed: int = 42) -> Callable:
+                             donate: bool = False, seed: int = 42,
+                             batch_shardings=None) -> Callable:
     """Jit the train step with explicit state/batch shardings over the mesh.
 
     Parameters/optimizer state are replicated; each batch tensor is sharded
     on its leading (batch) axis. GSPMD emits the cross-device gradient
     reduction (replacing ParallelModel's implicit CPU merge with an ICI
     all-reduce).
+
+    ``batch_shardings`` overrides the default leading-axis batch sharding
+    with a per-leaf pytree (e.g. :func:`spatial_batch_sharding` for
+    dp x sp over a 2-D mesh).
     """
     from ..ops.nms import shard_local_nms
     from ..train.steps import compute_losses
 
     repl = replicate_sharding(mesh)
-    data = batch_sharding(mesh)
+    data = batch_shardings if batch_shardings is not None \
+        else batch_sharding(mesh)
 
     def train_step(state, batch):
         dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed),
@@ -90,8 +124,8 @@ def make_parallel_train_step(model, mesh: Mesh, with_metrics: bool = True,
     return jax.jit(train_step, **kwargs)
 
 
-def make_parallel_eval_step(model, mesh: Mesh,
-                            with_metrics: bool = True) -> Callable:
+def make_parallel_eval_step(model, mesh: Mesh, with_metrics: bool = True,
+                            batch_shardings=None) -> Callable:
     """Jit the eval step with the SAME shardings as the parallel train
     step: replicated state, batch sharded on its leading axis over 'data'.
 
@@ -106,7 +140,8 @@ def make_parallel_eval_step(model, mesh: Mesh,
     from ..train.steps import compute_losses
 
     repl = replicate_sharding(mesh)
-    data = batch_sharding(mesh)
+    data = batch_shardings if batch_shardings is not None \
+        else batch_sharding(mesh)
 
     def eval_step(state, batch):
         with shard_local_nms(mesh):

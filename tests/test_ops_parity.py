@@ -516,10 +516,9 @@ class TestCompositeKeyPool:
             s, b, min_confidence=0.5, candidates_per_class=256,
             scores_bf16_exact=True))
         txt = fn.lower(scores, boxes).as_text()
-        import re as _re
         arities = [len([a for a in args.split(',') if a.strip()])
-                   for args in _re.findall(r'"stablehlo.sort"\(([^)]*)\)',
-                                           txt)]
+                   for args in re.findall(r'"stablehlo.sort"\(([^)]*)\)',
+                                          txt)]
         assert arities, 'no sort found in the lowered NMS'
         # every sort in the program is single-operand: the pool candidate
         # sort is the composite-key form, and no two-operand
