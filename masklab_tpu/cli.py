@@ -103,7 +103,7 @@ def cmd_eval(args, save_dir: str = None) -> None:
         json.dump(metrics, f, indent=2)
 
 
-def _build_predictor(cfg, save_dir):
+def _build_predictor(cfg, save_dir, mesh_data: int = 0):
     import jax
     from .models.masklab import build_masklab
     from .serving.predictor import MaskLabPredictor
@@ -130,21 +130,36 @@ def _build_predictor(cfg, save_dir):
               'weights (smoke mode)')
         variables = jax.jit(model.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
-    return MaskLabPredictor(model, variables, cfg, visualization=True)
+    mesh = None
+    if mesh_data and mesh_data > 1:
+        from .parallel import make_mesh
+        n = len(jax.devices())
+        if n < mesh_data:
+            print(f'WARNING: --mesh-data={mesh_data} but only {n} '
+                  f'device(s); serving single-device')
+        else:
+            mesh = make_mesh(data=mesh_data)
+    return MaskLabPredictor(model, variables, cfg, visualization=True,
+                            mesh=mesh)
 
 
 def cmd_serve(args) -> None:
     from .serving.server import MaskLabServer
-    flags = ('--port', '--max-batch', '--no-watch', '--warmup')
+    flags = ('--port', '--max-batch', '--no-watch', '--warmup',
+             '--mesh-data')
     cfg = _load_config([a for a in args
                         if not a.startswith(flags)])
     port, max_batch, watch, warmup = 8501, 8, True, False
+    mesh_data = 0
     warmup_sizes = []
     for a in args:
         if a.startswith('--port='):
             port = int(a.split('=', 1)[1])
         elif a.startswith('--max-batch='):
             max_batch = int(a.split('=', 1)[1])
+        elif a.startswith('--mesh-data='):
+            # data-parallel serving: shard micro-batches over N chips
+            mesh_data = int(a.split('=', 1)[1])
         elif a == '--no-watch':
             watch = False
         elif a.startswith('--warmup-sizes='):
@@ -160,7 +175,7 @@ def cmd_serve(args) -> None:
             warmup = True
     if warmup and not warmup_sizes:
         warmup_sizes = [tuple(cfg.postprocess.resolution)]
-    predictor = _build_predictor(cfg, cfg.train.save_dir)
+    predictor = _build_predictor(cfg, cfg.train.save_dir, mesh_data)
     if warmup:
         # pre-compile every (client size, batch bucket, mode) combination
         # so the first concurrent burst never pays a remote compile

@@ -272,7 +272,7 @@ class CheckpointWatcher:
         variables = self._restore(best)
         # device_put BEFORE the swap: the flip itself is one reference
         # assignment, so in-flight predicts never see a half-loaded tree
-        self.predictor.variables = jax.device_put(variables)
+        self.predictor.variables = self.predictor.place_variables(variables)
         self.current = best
         return True
 
