@@ -109,6 +109,11 @@ def pool_v3(scores, k, floor):
     *batch, n = scores.shape
     cap, m = 16, 128
     s = -(-n // m)
+    # production gates the composite path on s*m <= 2^IDX_BITS
+    # (ops/nms.py); without it index values would silently wrap and the
+    # certificate cannot catch it — a false-positive parity/timing result
+    assert s * m <= (1 << IDX_BITS), (
+        f'index capacity exceeded: {s * m} > {1 << IDX_BITS}')
     pad = s * m - n
     x = jnp.concatenate(
         [scores, jnp.full((*batch, pad), -jnp.inf, scores.dtype)], axis=-1)

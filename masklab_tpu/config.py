@@ -198,6 +198,12 @@ class ComputeConfig:
     # (reference considered *every* anchor above min_confidence;
     #  a static top-k pool is the XLA equivalent).
     nms_candidates_per_class: int = 256
+    # pool for the TRAINER's loss-config proposal NMS (its min_confidence
+    # floor is ~0.05, so mid-training score distributions can clear it on
+    # far more anchors than detection-threshold inference ever sees).
+    # 0 = inherit nms_candidates_per_class. Lets a preset trim the
+    # inference pool without touching training proposals.
+    nms_candidates_per_class_train: int = 0
     # static train-time scale buckets replacing the reference's continuous
     # random scale in (0.4, 0.6) (engine/utils/generator/masklab.py:52-62).
     scale_buckets: Tuple[float, ...] = (0.4, 0.45, 0.5, 0.55, 0.6)

@@ -202,7 +202,10 @@ class MaskLab(nn.Module):
             nms_iou_threshold=loss_cfg.nms_iou_threshold,
             post_iou_threshold=loss_cfg.post_iou_threshold,
             max_outputs=loss_cfg.nms_max_output_size,
-            candidates_per_class=cfg.compute.nms_candidates_per_class,
+            # the loss-config floor (~0.05) passes far more anchors than
+            # detection thresholds, so the trainer pool is its own knob
+            candidates_per_class=(cfg.compute.nms_candidates_per_class_train
+                                  or cfg.compute.nms_candidates_per_class),
             scores_bf16_exact=self.dtype == jnp.bfloat16)
         chosen = jnp.concatenate(
             [gt_boxes.astype(jnp.float32), proposals], axis=1)

@@ -27,11 +27,16 @@ def road_project_config(data_dir: str = None,
     # per-class candidate pool (a documented deviation from the
     # reference's all-anchors-above-threshold NMS) is lossless whenever
     # fewer than `k` anchors per class clear min_confidence; road scenes
-    # rarely exceed ~50 (docs/PERFORMANCE.md), so 128 keeps that margin
-    # while quartering the stage-1 keep-fixpoint matvecs. Identical
-    # outputs vs the default 256 in realistic regimes are pinned by
-    # tests/test_ops_parity.py::test_pool_trim_lossless_in_realistic_regime.
+    # rarely exceed ~50 at DETECTION thresholds (docs/PERFORMANCE.md), so
+    # 128 keeps that margin while quartering the stage-1 keep-fixpoint
+    # matvecs. Identical outputs vs the default 256 in realistic regimes
+    # are pinned by tests/test_ops_parity.py::
+    # test_pool_trim_lossless_in_realistic_regime. The TRAINER's
+    # loss-config NMS (floor ~0.05, where mid-training distributions can
+    # clear the floor on >128 anchors/class) keeps the full default pool
+    # via nms_candidates_per_class_train.
     cfg.compute.nms_candidates_per_class = 128
+    cfg.compute.nms_candidates_per_class_train = 256
     if data_dir is not None:
         cfg.dataset.data_dir = data_dir
     if save_dir is not None:

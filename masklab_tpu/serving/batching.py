@@ -271,8 +271,11 @@ class CheckpointWatcher:
             return False
         variables = self._restore(best)
         # device_put BEFORE the swap: the flip itself is one reference
-        # assignment, so in-flight predicts never see a half-loaded tree
-        self.predictor.variables = self.predictor.place_variables(variables)
+        # assignment, so in-flight predicts never see a half-loaded tree.
+        # place_variables keeps a mesh predictor's replicated sharding;
+        # duck-typed predictors without it get the plain placement.
+        place = getattr(self.predictor, 'place_variables', jax.device_put)
+        self.predictor.variables = place(variables)
         self.current = best
         return True
 

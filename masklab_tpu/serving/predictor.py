@@ -87,8 +87,11 @@ class MaskLabPredictor:
             down = resize_bilinear(images, ds_hw[0], ds_hw[1],
                                    align_corners=True)
             if mesh is not None:
-                # per-shard NMS certificates, zero collectives (same
-                # scope the parallel eval step traces under)
+                # the same trace scope the parallel eval step uses: keys
+                # the NMS jit cache per mesh and, in multi-process
+                # programs, routes candidate_pool through per-shard
+                # certificates (single-process keeps the global
+                # certificate, which is deadlock-free there)
                 from ..ops.nms import shard_local_nms
                 with shard_local_nms(mesh):
                     out = self.model.apply(variables, down)
@@ -175,14 +178,19 @@ class MaskLabPredictor:
         if images.ndim == 3:
             images = images[None]
         b = images.shape[0]
-        if self.mesh is not None and b % self.mesh.shape['data']:
+        padded = self.mesh is not None and b % self.mesh.shape['data'] != 0
+        if padded:
             pad = -b % self.mesh.shape['data']
             images = np.concatenate(
                 [images, np.zeros((pad,) + images.shape[1:],
                                   images.dtype)], axis=0)
         in_hw = (images.shape[1], images.shape[2])
         out = self._get(in_hw, mode)(self.variables, jnp.asarray(images))
-        return {k: np.asarray(v)[:b] for k, v in out.items()}
+        if padded:
+            # slice ON DEVICE: pad rows must never cross the device link
+            # (host transfer dominates serving latency — see __init__)
+            return {k: np.asarray(v[:b]) for k, v in out.items()}
+        return {k: np.asarray(v) for k, v in out.items()}
 
     def predict_bytes(self, content: bytes,
                       mode: Optional[str] = None) -> Dict[str, np.ndarray]:

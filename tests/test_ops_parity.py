@@ -217,6 +217,53 @@ def test_pool_trim_lossless_in_realistic_regime():
 
     from masklab_tpu.presets import road_project_config
     assert road_project_config().compute.nms_candidates_per_class == 128
+    # the trainer's loss-config NMS (floor ~0.05) keeps the full pool —
+    # mid-training distributions can clear that floor on >128 anchors
+    assert (road_project_config().compute.nms_candidates_per_class_train
+            == 256)
+
+
+def test_trainer_nms_pool_uses_train_knob(monkeypatch):
+    """trainer_outputs' loss-path NMS must consume
+    compute.nms_candidates_per_class_train (0 = inherit); the inference
+    and metric-branch sites keep the inference pool."""
+    import masklab_tpu.models.masklab as masklab_mod
+    from masklab_tpu import ModelConfiguration
+    from masklab_tpu.models import build_masklab
+
+    cfg = ModelConfiguration()
+    cfg.backbone.backbone_type = 'mobilenet'
+    cfg.backbone.backbone_outputs = ('C3', 'C4', 'C5')
+    cfg.detection.feature_pyramid_inputs = ('C3', 'C4', 'C5')
+    cfg.backbone.num_features = 16
+    for g in (cfg.detection, cfg.instance, cfg.semantic):
+        g.num_features = 16
+        g.num_depth = 1
+    cfg.semantic.num_aspp_features = 16
+    cfg.detection.nms_max_output_size = 4
+    cfg.loss.nms_max_output_size = 4
+    cfg.compute.nms_candidates_per_class = 8
+    cfg.compute.nms_candidates_per_class_train = 12
+
+    seen = []
+    real = masklab_mod.batched_class_aware_nms
+
+    def spy(*args, **kwargs):
+        seen.append(kwargs['candidates_per_class'])
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(masklab_mod, 'batched_class_aware_nms', spy)
+    model = build_masklab(cfg)
+    images = jnp.zeros((1, 64, 64, 3))
+    gt = jnp.full((1, 2, 6), -1.0)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images)
+    jax.eval_shape(lambda v: model.apply(v, images, method='trainer_outputs',
+                                         gt_boxes=gt, train=False),
+                   variables)
+    assert 12 in seen and 8 in seen
+    seen.clear()
+    jax.eval_shape(lambda v: model.apply(v, images), variables)
+    assert seen == [8]
 
 
 # ---------- morphology ----------
