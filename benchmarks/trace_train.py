@@ -62,6 +62,40 @@ def main():
     for k, v in tot.most_common(35):
         print(f'{v/1000:10.3f} ms total {cnt[k]:4d}x  {k[:110]}')
 
+    # rollup by op family: the bound analysis for VERDICT item 4 needs
+    # "where does the step time go" at category level, not 35 fusions
+    def family(name):
+        n = name.lower()
+        # runtime/host wrapper events enclose the real ops — skip them
+        # so the rollup sums op time, not 2x everything
+        for skip in ('thunkexecutor', 'block_until_ready', 'try_to_block',
+                     'xlamodule', '$', 'tsl::', 'stream::'):
+            if skip in n:
+                return None
+        for key, fam in (('conv', 'conv/dot'), ('dot', 'conv/dot'),
+                         ('custom-call', 'custom-call (pallas)'),
+                         ('all-reduce', 'collective'),
+                         ('sort', 'sort'), ('scatter', 'scatter'),
+                         ('gather', 'gather'), ('copy', 'copy/transpose'),
+                         ('transpose', 'copy/transpose'),
+                         ('reduce', 'reduce'), ('cond', 'cond/branch'),
+                         ('while', 'cond/branch'),
+                         ('fusion', 'fusion (elementwise)')):
+            if key in n:
+                return fam
+        return 'other'
+
+    fams = collections.Counter()
+    for k, v in tot.items():
+        fam = family(k)
+        if fam is not None:
+            fams[fam] += v
+    total_us = sum(tot.values())
+    print(f'\n--- rollup over {total_us/1000:.2f} ms device time '
+          f'(5 steps -> {total_us/5000:.2f} ms/step) ---')
+    for fam, v in fams.most_common():
+        print(f'{v/1000:10.3f} ms  {100*v/max(total_us,1):5.1f}%  {fam}')
+
 
 if __name__ == '__main__':
     main()
