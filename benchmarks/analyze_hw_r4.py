@@ -71,7 +71,7 @@ def main():
 
     print('\n=== 3. logs on disk ===')
     for name in ('exp_pool_v3.log', 'trace_model.log', 'trace_road.log',
-                 'trace_train.log', 'serve_degradation.log',
+                 'trace_train.log', 'suite.log', 'serve_degradation.log',
                  'verify_train.log', 'verify_probes.log'):
         p = os.path.join(d, name)
         if os.path.exists(p):
