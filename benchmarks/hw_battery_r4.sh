@@ -2,28 +2,37 @@
 # Round-4 hardware battery — fired once by the watcher on first UP.
 # Serial, bounded; do NOT run battery jobs concurrently (remote compile
 # queue backs up).
+# Abort protocol: `touch /tmp/hw_r4/STOP` stops at the next job boundary;
+# `kill $(cat /tmp/hw_r4/job.pid)` aborts the in-flight job (exact PID,
+# never pattern-kill).
 cd /root/repo
 D=/tmp/hw_r4
-log() { echo "$(date -u +%H:%M:%S) battery: $1" >> /tmp/tpu_status.log; }
+echo $$ > "$D/battery.pid"
+log() { echo "$(date -u +%H:%M:%S) battery: $1" >> /tmp/tpu_status.log;
+        if [ -f "$D/STOP" ]; then
+          echo "$(date -u +%H:%M:%S) battery: STOP seen, aborting" >> /tmp/tpu_status.log
+          touch "$D/done"; exit 0
+        fi; }
+run() { "$@" & echo $! > "$D/job.pid"; wait $!; }
 
 log "bench baseline"
-timeout 5400 python bench.py > "$D/bench_base.json" 2> "$D/bench_base.log"
+run timeout 5400 python bench.py > "$D/bench_base.json" 2> "$D/bench_base.log"
 log "fused conv+GN A/B"
-MASKLAB_FUSED_CONV_GN=1 BENCH_SKIP_EXTRAS=1 timeout 3600 python bench.py > "$D/bench_fused.json" 2> "$D/bench_fused.log"
+MASKLAB_FUSED_CONV_GN=1 BENCH_SKIP_EXTRAS=1 run timeout 3600 python bench.py > "$D/bench_fused.json" 2> "$D/bench_fused.log"
 log "pool v3 timing"
-timeout 1800 python benchmarks/exp_pool_v3.py time > "$D/exp_pool_v3.log" 2>&1
+run timeout 1800 python benchmarks/exp_pool_v3.py time > "$D/exp_pool_v3.log" 2>&1
 log "dense trace"
-timeout 2400 python benchmarks/trace_model.py > "$D/trace_model.log" 2>&1
+run timeout 2400 python benchmarks/trace_model.py > "$D/trace_model.log" 2>&1
 log "road trace"
-BENCH_PRESET=road timeout 2400 python benchmarks/trace_model.py > "$D/trace_road.log" 2>&1
+BENCH_PRESET=road run timeout 2400 python benchmarks/trace_model.py > "$D/trace_road.log" 2>&1
 log "train trace"
-timeout 2400 python benchmarks/trace_train.py > "$D/trace_train.log" 2>&1
+run timeout 2400 python benchmarks/trace_train.py > "$D/trace_train.log" 2>&1
 log "baseline-config suite (5 configs)"
-timeout 3600 python benchmarks/suite.py > "$D/suite.log" 2>&1
+run timeout 3600 python benchmarks/suite.py > "$D/suite.log" 2>&1
 log "serving degradation drive (max_batch=16)"
-timeout 2400 python benchmarks/serve_degradation_drive.py > "$D/serve_degradation.log" 2>&1
+run timeout 2400 python benchmarks/serve_degradation_drive.py > "$D/serve_degradation.log" 2>&1
 log "verify: CLI train (tiny 3-phase road backbone)"
-timeout 1500 python -m masklab_tpu.cli train \
+run timeout 1500 python -m masklab_tpu.cli train \
   -backbone.backbone_type seresnet34 -backbone.backbone_outputs C3 C4 C5 P6 \
   -backbone.num_features 32 \
   -detection.num_features 32 -detection.num_depth 1 -detection.nms_max_output_size 8 \
