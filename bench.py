@@ -342,6 +342,51 @@ def main():
         'extra': extra,
     }
     print(json.dumps(result))
+    _save_last_good(result)
+
+
+_LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'benchmarks', 'last_good_bench.json')
+
+
+def _is_default_capture() -> bool:
+    """True when no BENCH_* env override changes what the driver measures —
+    only such runs may stand in as the last-known-good capture."""
+    return not any(os.environ.get(k) for k in (
+        'BENCH_BACKBONE', 'BENCH_DTYPE', 'BENCH_COMPACTION',
+        'BENCH_CANDIDATES', 'BENCH_BATCH', 'BENCH_SIZE', 'BENCH_ITERS',
+        'BENCH_CKPT', 'BENCH_SKIP_EXTRAS'))
+
+
+def _save_last_good(result: dict):
+    """Persist a successful default-config on-hardware capture.
+
+    The TPU rides a tunnel with multi-hour outages (rounds 3 and 4 both
+    lost driver-capture windows to it). A capture that fails AFTER a
+    successful run earlier in the round should still surface that run's
+    numbers — clearly labeled — instead of leaving the round evidence-free.
+    Best-effort: never let bookkeeping break the benchmark itself.
+    """
+    if not _is_default_capture():
+        return
+    try:
+        payload = dict(result)
+        payload['captured_unix'] = time.time()
+        with open(_LAST_GOOD_PATH, 'w') as f:
+            json.dump(payload, f, indent=1)
+    except OSError:
+        pass
+
+
+def _load_last_good():
+    try:
+        with open(_LAST_GOOD_PATH) as f:
+            data = json.load(f)
+        if isinstance(data, dict) and data.get('value') is not None:
+            return data
+    except (OSError, ValueError):
+        pass
+    return None
 
 
 def run():
@@ -358,13 +403,19 @@ def run():
         import traceback
         traceback.print_exc()
         sys.stderr.flush()
-        print(json.dumps({
+        line = {
             'metric': 'masklab_joint_inference_images_per_sec_512px',
             'value': None,
             'unit': 'images/sec/chip',
             'vs_baseline': None,
             'error': f'{type(exc).__name__}: {str(exc)[:400]}',
-        }))
+        }
+        # a failed capture (tunnel outage) still surfaces the most recent
+        # successful default-config run, labeled as such — never as `value`
+        last = _load_last_good()
+        if last is not None:
+            line['last_good'] = last
+        print(json.dumps(line))
         sys.stdout.flush()
         sys.exit(1)
 

@@ -108,6 +108,7 @@ def test_run_emits_parseable_json_error_line(monkeypatch, capsys):
             "Unable to initialize backend 'axon': UNAVAILABLE")
 
     monkeypatch.setattr(bench, 'main', boom)
+    monkeypatch.setattr(bench, '_load_last_good', lambda: None)
     with pytest.raises(SystemExit) as exc_info:
         bench.run()
     assert exc_info.value.code == 1
@@ -117,3 +118,50 @@ def test_run_emits_parseable_json_error_line(monkeypatch, capsys):
     assert parsed['value'] is None
     assert 'UNAVAILABLE' in parsed['error']
     assert parsed['metric'].startswith('masklab_joint_inference')
+    assert 'last_good' not in parsed
+
+
+def test_error_line_carries_last_good_capture(monkeypatch, capsys, tmp_path):
+    """An outage at driver-capture time must surface the round's most
+    recent successful on-hardware run — labeled `last_good`, never as
+    `value`."""
+    good = {'metric': 'masklab_joint_inference_images_per_sec_512px',
+            'value': 601.2, 'unit': 'images/sec/chip', 'vs_baseline': 20.04,
+            'extra': {'regime': 'forced_dense'}}
+    path = tmp_path / 'last_good_bench.json'
+    monkeypatch.setattr(bench, '_LAST_GOOD_PATH', str(path))
+    bench._save_last_good(good)
+
+    def boom():
+        raise RuntimeError('backend init hang (> 150s, killed)')
+
+    monkeypatch.setattr(bench, 'main', boom)
+    with pytest.raises(SystemExit):
+        bench.run()
+    parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert parsed['value'] is None
+    assert parsed['last_good']['value'] == 601.2
+    assert parsed['last_good']['captured_unix'] > 0
+
+
+def test_last_good_skips_env_overridden_runs(monkeypatch, tmp_path):
+    """A BENCH_* override changes what's measured — such runs must never
+    stand in for the driver's default capture."""
+    path = tmp_path / 'last_good_bench.json'
+    monkeypatch.setattr(bench, '_LAST_GOOD_PATH', str(path))
+    monkeypatch.setenv('BENCH_BATCH', '4')
+    bench._save_last_good({'value': 99.9})
+    assert not path.exists()
+    monkeypatch.delenv('BENCH_BATCH')
+    bench._save_last_good({'value': 42.0})
+    assert bench._load_last_good()['value'] == 42.0
+
+
+def test_load_last_good_rejects_corrupt_file(monkeypatch, tmp_path):
+    path = tmp_path / 'last_good_bench.json'
+    monkeypatch.setattr(bench, '_LAST_GOOD_PATH', str(path))
+    assert bench._load_last_good() is None          # missing file
+    path.write_text('{not json')
+    assert bench._load_last_good() is None          # corrupt file
+    path.write_text(json.dumps({'value': None, 'error': 'x'}))
+    assert bench._load_last_good() is None          # error line, not a run
