@@ -198,7 +198,32 @@ def check():
     return failures
 
 
+def _device_trace_ms(trace_dir):
+    """Sum device-pid X-event durations from the newest trace.json.gz.
+
+    Wall-clock loops LIE on this platform for ~1 ms programs (CLAUDE.md);
+    only profiler traces are trustworthy at this size. Host rows (dispatch,
+    python) are excluded via the process-name metadata.
+    """
+    import glob
+    import gzip
+    import json
+    f = sorted(glob.glob(f'{trace_dir}/**/*.trace.json.gz',
+                         recursive=True))[-1]
+    with gzip.open(f) as fh:
+        d = json.load(fh)
+    events = d.get('traceEvents', [])
+    dev_pids = {e['pid'] for e in events
+                if e.get('ph') == 'M' and e.get('name') == 'process_name'
+                and any(t in str(e.get('args', {}).get('name', ''))
+                        for t in ('TPU', 'Device', 'device'))}
+    total = sum(e.get('dur', 0) for e in events
+                if e.get('ph') == 'X' and e.get('pid') in dev_pids)
+    return total / 1000.0
+
+
 def time_tpu():
+    import os
     import time
     import jax
     import jax.numpy as jnp
@@ -217,15 +242,39 @@ def time_tpu():
         'legacy_2key_sort': jax.jit(functools.partial(
             _pool_body, k=k, floor=floor, bf16_exact=False)),
     }
+    iters = 50
+    device_ms = {}
     for name, fn in variants.items():
         out = jax.block_until_ready(fn(scores))
         t0 = time.perf_counter()
-        iters = 50
         for _ in range(iters):
             out = fn(scores)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters * 1e3
-        print(f'{name}: {dt:.3f} ms/call (loop avg; confirm with trace)')
+        # the decision metric: per-variant device trace (loop avg is
+        # reported for context only)
+        trace_dir = f'/tmp/exp_pool_v3_trace_{name}'
+        os.system(f'rm -rf {trace_dir}')
+        jax.profiler.start_trace(trace_dir)
+        for _ in range(iters):
+            out = fn(scores)
+        jax.block_until_ready(out)
+        jax.profiler.stop_trace()
+        try:
+            device_ms[name] = _device_trace_ms(trace_dir) / iters
+        except (IndexError, OSError, ValueError) as exc:
+            device_ms[name] = None
+            print(f'{name}: trace parse failed: {exc}')
+        dev = (f'{device_ms[name]:.3f} ms/call DEVICE-TRACE'
+               if device_ms[name] else 'n/a')
+        print(f'{name}: {dev}  (loop avg {dt:.3f} ms, context only)')
+    comp, lvl2 = device_ms.get('composite_sort'), device_ms.get(
+        'level2_extract')
+    if comp and lvl2:
+        verdict = ('PROMOTE level2 into ops/nms.py' if lvl2 < comp
+                   else 'record negative result + DELETE experiment')
+        print(f'decision: level2 {lvl2:.3f} vs composite {comp:.3f} ms '
+              f'-> {verdict}')
 
 
 if __name__ == '__main__':
