@@ -355,7 +355,9 @@ def _is_default_capture() -> bool:
     return not any(os.environ.get(k) for k in (
         'BENCH_BACKBONE', 'BENCH_DTYPE', 'BENCH_COMPACTION',
         'BENCH_CANDIDATES', 'BENCH_BATCH', 'BENCH_SIZE', 'BENCH_ITERS',
-        'BENCH_CKPT', 'BENCH_SKIP_EXTRAS'))
+        'BENCH_CKPT', 'BENCH_SKIP_EXTRAS',
+        # kernel-path gates change WHAT is measured, not just how much
+        'MASKLAB_FUSED_CONV_GN', 'MASKLAB_NO_PALLAS_GN'))
 
 
 def _save_last_good(result: dict):

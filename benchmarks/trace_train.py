@@ -53,10 +53,17 @@ def main():
                          recursive=True))[-1]
     with gzip.open(f) as fh:
         d = json.load(fh)
+    events = d.get('traceEvents', [])
+    # device rows only: host threads (dispatch, python) and runtime
+    # wrappers would otherwise double-count every op in the denominator
+    dev_pids = {e['pid'] for e in events
+                if e.get('ph') == 'M' and e.get('name') == 'process_name'
+                and any(t in str(e.get('args', {}).get('name', ''))
+                        for t in ('TPU', 'Device', 'device'))}
     tot = collections.Counter()
     cnt = collections.Counter()
-    for e in d.get('traceEvents', []):
-        if e.get('ph') == 'X':
+    for e in events:
+        if e.get('ph') == 'X' and e.get('pid') in dev_pids:
             tot[e['name']] += e.get('dur', 0)
             cnt[e['name']] += 1
     for k, v in tot.most_common(35):
@@ -90,7 +97,9 @@ def main():
         fam = family(k)
         if fam is not None:
             fams[fam] += v
-    total_us = sum(tot.values())
+    # denominator = the rolled-up op time itself (device pids, wrappers
+    # skipped) so ms/step and the percentages are self-consistent
+    total_us = sum(fams.values())
     print(f'\n--- rollup over {total_us/1000:.2f} ms device time '
           f'(5 steps -> {total_us/5000:.2f} ms/step) ---')
     for fam, v in fams.most_common():

@@ -172,13 +172,17 @@ class MultiprocessLoader:
         # batch `i` is identical regardless of which worker builds it —
         # while batch order still varies epoch to epoch (the in-process
         # generator reshuffles per epoch; workers must match)
-        epoch_seed = (self.seed + self._epoch) if self.shuffle else None
+        # the seed mixes MULTIPLICATIVELY with the epoch: an additive
+        # seed+epoch would make (seed=0, epoch=1) and (seed=1, epoch=0)
+        # replay identical shuffles and scale streams, defeating seed
+        # isolation between differently-seeded runs
+        mixed = (self.seed * 1_000_003 + self._epoch) % (2 ** 31)
+        epoch_seed = mixed if self.shuffle else None
         # scale-bucket rng seed advances with the epoch REGARDLESS of the
         # shuffle flag (ADVICE r3: shuffle=False collapsed it to `index`
         # alone, repeating identical scale choices every epoch — unlike
-        # the in-process generator whose rng advances), and is offset so
-        # seed=0/epoch=0 cannot alias another (seed, epoch) pair
-        scale_base = self.seed + self._epoch + 1
+        # the in-process generator whose rng advances)
+        scale_base = mixed + 1
         self._epoch += 1
         for batch in pool.imap(_loader_get,
                                [(epoch_seed, scale_base, i)

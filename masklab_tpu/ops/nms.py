@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import collections
 import contextlib
+import threading
 from functools import partial
 
 import jax
@@ -411,7 +412,7 @@ _NMS_JIT_CACHE: 'collections.OrderedDict' = collections.OrderedDict()
 _NMS_JIT_CACHE_MAX = 8
 # serving calls NMS from worker threads; the LRU's evict path would
 # otherwise race a concurrent lookup into a KeyError
-_NMS_JIT_CACHE_LOCK = __import__('threading').Lock()
+_NMS_JIT_CACHE_LOCK = threading.Lock()
 
 
 def batched_class_aware_nms(cls_pred: jnp.ndarray, boxes: jnp.ndarray,

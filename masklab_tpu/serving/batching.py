@@ -162,17 +162,25 @@ class MicroBatcher:
                 group = self._take_group()
             self._run(group)
 
-    def _run(self, group: List[_Pending]):
+    def _run(self, group: List[_Pending], cap: Optional[int] = None):
         # EVERYTHING from here on must fan failures out to the waiters:
         # an exception escaping this method kills the dispatcher thread
         # and hangs every submit() forever (batch build included — e.g.
         # same-(H, W) images with mismatched channel counts break
         # np.stack)
-        bucket = _next_bucket(len(group), self.eligible_buckets())
+        # ``cap``: after a bucket's first-run failure the retry must
+        # DEGRADE to a strictly smaller bucket — without it,
+        # _next_bucket(3, (1, 2, 8)) with 4 freshly suspended would
+        # escalate to 8 and pay a brand-new remote compile while the
+        # clients are still blocked
+        elig = self.eligible_buckets()
+        if cap is not None:
+            elig = tuple(b for b in elig if b < cap) or (1,)
+        bucket = _next_bucket(len(group), elig)
         if len(group) > bucket:
             # the larger buckets are suspended: serve in bucket-sized waves
             for i in range(0, len(group), bucket):
-                self._run(group[i:i + bucket])
+                self._run(group[i:i + bucket], cap=cap)
             return
         try:
             images = np.stack([i.image for i in group])
@@ -187,9 +195,11 @@ class MicroBatcher:
         try:
             out = (self.predict(images) if group[0].mode is None
                    else self.predict(images, group[0].mode))
-        except (KeyboardInterrupt, SystemExit):
-            raise
         except BaseException as exc:  # noqa: BLE001
+            # BaseException on purpose, SystemExit included: anything
+            # escaping _run kills the dispatcher thread and hangs every
+            # submit() forever (KeyboardInterrupt is only ever delivered
+            # to the main thread, so catching it here costs nothing)
             if bucket <= 1:
                 self._fail(group, exc)
                 return
@@ -210,7 +220,7 @@ class MicroBatcher:
             # that only failed because of an outage is probed again
             # after the cooldown
             self._suspend_bucket(bucket, exc)
-            self._run(group)
+            self._run(group, cap=bucket)
             return
         with self._lock:
             self._warm.add(bucket)

@@ -180,6 +180,63 @@ def test_failing_bucket_is_evicted_and_requests_degrade():
         mb.close()
 
 
+def test_suspension_retry_degrades_never_escalates():
+    """After a cold bucket fails, the retry must move to a strictly
+    SMALLER bucket. Without the retry cap, a 3-request group failing at
+    bucket 4 would re-resolve against eligible (1, 2, 8) and ESCALATE to
+    a brand-new batch-8 compile (round-4 review finding)."""
+    calls = []
+
+    def predict(images):
+        calls.append(images.shape[0])
+        if images.shape[0] == 4:
+            raise RuntimeError('compile failed for batch 4')
+        return {'marker': images[:, 0, 0, 0].astype(np.int32)}
+
+    mb = MicroBatcher(predict, max_batch=8, window_ms=30.0)
+    try:
+        results = {}
+        barrier = threading.Barrier(3)
+
+        def worker(i):
+            barrier.wait()
+            results[i] = mb.submit(_marked_image(i))
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=10)
+        assert len(results) == 3
+        for i, out in results.items():
+            assert int(out['marker'][0]) == i
+        assert 8 not in calls, (
+            f'retry escalated to a larger bucket: calls={calls}')
+        assert 4 in calls and max(calls[calls.index(4) + 1:]) <= 2
+    finally:
+        mb.close()
+
+
+def test_dispatcher_survives_system_exit_from_predict():
+    """SystemExit out of predict must fan out to the waiters like any
+    other failure — escaping _run would kill the dispatcher thread and
+    hang every later submit() forever (round-4 review finding)."""
+    def boom(images):
+        raise SystemExit(3)
+
+    mb = MicroBatcher(boom, max_batch=2, window_ms=1.0)
+    try:
+        with pytest.raises(SystemExit):
+            mb.submit(_marked_image(1))
+        # the dispatcher thread is still alive and serving
+        assert mb._thread.is_alive()
+        with pytest.raises(SystemExit):
+            mb.submit(_marked_image(2))
+    finally:
+        mb.close()
+
+
 def test_suspended_bucket_reinstates_after_cooldown():
     """A bucket that failed its FIRST run (possibly a transient outage at
     compile time) is probed again after the cooldown instead of being
