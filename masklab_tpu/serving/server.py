@@ -5,6 +5,9 @@ with an idiomatic in-process server hosting the jitted predictor:
   * POST /predict   body = JPEG/PNG bytes -> JSON {objs: [...]} analytics +
     base64 annotated JPEG — the {visualize, summarize} signature of
     save_serving_model (road_project/setup/serving.py:66-72);
+    ``?outputs=jpeg`` returns the annotated JPEG bytes directly
+    (Content-Type image/jpeg, analytics in X-Masklab-Summary) — the
+    reference's bytes-out contract without the base64/JSON host cost;
   * GET  /healthz   readiness probe (the reference's post-deploy smoke test
     role, serving.py:97-106);
   * ``send_image_to_server`` — client helper mirroring
@@ -70,10 +73,19 @@ class _Handler(BaseHTTPRequestHandler):
         # that only needs analytics skips the JPEG encode round trip,
         # and ?outputs=raw returns boxes/masks/semantics tensors)
         mode = 'visualize'
+        binary = False
         if 'outputs=summarize' in query:
             mode = 'summarize'
         elif 'outputs=raw' in query:
             mode = 'raw'
+        elif 'outputs=jpeg' in query:
+            # binary response: annotated JPEG bytes in the body (the
+            # reference's bytes-out contract — its gRPC `visualize`
+            # tensor WAS the encoded JPEG, serving.py:192-196), with the
+            # analytics table in a header. Skips the base64 inflation
+            # (+33% bytes) and the big-JSON build that serialize on the
+            # host for visualize clients.
+            binary = True
         length = int(self.headers.get('Content-Length', 0))
         content = self.rfile.read(length)
         started = time.time()
@@ -90,7 +102,18 @@ class _Handler(BaseHTTPRequestHandler):
             self._respond(400, json.dumps(
                 {'error': str(exc)}).encode())
             return
-        payload: Dict = {'latency_ms': (time.time() - started) * 1000.0}
+        latency_ms = (time.time() - started) * 1000.0
+        if binary and 'visualize' in out:
+            objs = summary_to_records(out['summarize'][0],
+                                      self.instance_labels) \
+                if 'summarize' in out else []
+            self._respond(
+                200, MaskLabPredictor.encode_jpeg(out['visualize'][0]),
+                content_type='image/jpeg',
+                headers={'X-Masklab-Summary': json.dumps(objs),
+                         'X-Masklab-Latency-Ms': f'{latency_ms:.1f}'})
+            return
+        payload: Dict = {'latency_ms': latency_ms}
         if 'summarize' in out:
             payload['objs'] = summary_to_records(
                 out['summarize'][0], self.instance_labels)
@@ -103,10 +126,14 @@ class _Handler(BaseHTTPRequestHandler):
             payload['semantic_shape'] = list(out['semantic'].shape[1:])
         self._respond(200, json.dumps(payload).encode())
 
-    def _respond(self, code: int, body: bytes):
+    def _respond(self, code: int, body: bytes,
+                 content_type: str = 'application/json',
+                 headers: Optional[Dict[str, str]] = None):
         self.send_response(code)
-        self.send_header('Content-Type', 'application/json')
+        self.send_header('Content-Type', content_type)
         self.send_header('Content-Length', str(len(body)))
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
         self.end_headers()
         self.wfile.write(body)
 

@@ -159,9 +159,27 @@ def test_predictor_end_to_end_with_server():
     tmp = '/tmp/masklab_test_input.jpg'
     cv2.imwrite(tmp, cv2.cvtColor(image, cv2.COLOR_RGB2BGR))
     resp = send_image_to_server(tmp, port=18765)
+    # binary mode (?outputs=jpeg): annotated JPEG bytes in the body,
+    # analytics in a header — the reference's bytes-out contract
+    import json as _json
+    import urllib.request
+    with open(tmp, 'rb') as f:
+        body = f.read()
+    req = urllib.request.Request(
+        'http://localhost:18765/predict?outputs=jpeg', data=body,
+        method='POST')
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.headers['Content-Type'] == 'image/jpeg'
+        objs = _json.loads(r.headers['X-Masklab-Summary'])
+        jpeg = r.read()
     server.stop()
     assert 'objs' in resp and 'visualize_jpeg_b64' in resp
     assert resp['latency_ms'] > 0
+    assert jpeg[:2] == b'\xff\xd8'        # JPEG SOI marker
+    decoded = cv2.imdecode(np.frombuffer(jpeg, np.uint8),
+                           cv2.IMREAD_COLOR)
+    assert decoded.shape == (96, 128, 3)
+    assert isinstance(objs, list)
 
     # gRPC round-trip on the same predictor
     try:
