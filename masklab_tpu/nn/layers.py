@@ -13,6 +13,8 @@ float32 parameters; normalization statistics are always float32.
 """
 from __future__ import annotations
 
+import contextlib
+import threading
 from typing import Any, Tuple
 
 import jax
@@ -20,6 +22,30 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
+
+_FUSED_GATE = threading.local()
+
+
+@contextlib.contextmanager
+def no_fused_conv_gn():
+    """Trace-time scope: route HeadBlock through the plain XLA
+    conv+GN composition even when the fused Pallas kernel is enabled.
+
+    The fused kernel's custom_vjp backward RECOMPUTES the layer through
+    XLA (conv_gn_kernel.py _bwd), so under differentiation it pays the
+    stock forward+backward PLUS a recompute — a strict regression for
+    the train step, whose mask-branch conds are already its biggest cost
+    (round-3 trace: 11.2 of 29 ms/step). train/steps.py wraps the loss
+    forward in this scope so the fused path stays an inference-only
+    optimization; same trace-time-context pattern as
+    ops/nms.py shard_local_nms.
+    """
+    prev = getattr(_FUSED_GATE, 'disabled', False)
+    _FUSED_GATE.disabled = True
+    try:
+        yield
+    finally:
+        _FUSED_GATE.disabled = prev
 
 
 def normal_init(stddev: float = 0.01):
@@ -233,6 +259,11 @@ def _use_fused_conv_gn(x, groups: int, separable: bool) -> bool:
     """
     import os
     if os.environ.get('MASKLAB_NO_PALLAS_GN') or separable:
+        return False
+    # inference-only: under differentiation the custom_vjp recompute
+    # makes fused strictly slower than the stock composition (see
+    # no_fused_conv_gn)
+    if getattr(_FUSED_GATE, 'disabled', False):
         return False
     # opt-in until hardware-validated (the plain band-GN kernel taught
     # us microbench wins can lose to XLA fusion at model level)

@@ -223,3 +223,26 @@ class TestFusedConvGN:
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b)), params, params2)
+
+    def test_no_fused_conv_gn_scope_disables_route(self, monkeypatch):
+        """The train step wraps its forward in no_fused_conv_gn(): the
+        fused route must be OFF inside the scope even with every other
+        condition satisfied (the custom_vjp backward recomputes through
+        XLA — a strict train-step regression if routed under grad)."""
+        import jax as _jax
+        from masklab_tpu.nn import layers as L
+
+        class _Dev:
+            platform = 'tpu'
+
+        monkeypatch.setenv('MASKLAB_FUSED_CONV_GN', '1')
+        monkeypatch.delenv('MASKLAB_NO_PALLAS_GN', raising=False)
+        monkeypatch.setattr(_jax, 'devices', lambda: [_Dev()])
+        x = jnp.zeros((2, 14, 14, 32))
+        assert L._use_fused_conv_gn(x, 16, separable=False)
+        with L.no_fused_conv_gn():
+            assert not L._use_fused_conv_gn(x, 16, separable=False)
+            with L.no_fused_conv_gn():            # re-entrant
+                assert not L._use_fused_conv_gn(x, 16, separable=False)
+            assert not L._use_fused_conv_gn(x, 16, separable=False)
+        assert L._use_fused_conv_gn(x, 16, separable=False)
