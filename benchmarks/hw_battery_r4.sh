@@ -27,6 +27,8 @@ log "road trace"
 BENCH_PRESET=road run timeout 2400 python benchmarks/trace_model.py > "$D/trace_road.log" 2>&1
 log "train trace"
 run timeout 2400 python benchmarks/trace_train.py > "$D/trace_train.log" 2>&1
+log "train trace, band-GN kernel forced at C=128 (A/B for the backward)"
+MASKLAB_GN_KERNEL_MIN_C=128 run timeout 2400 python benchmarks/trace_train.py > "$D/trace_train_gn128.log" 2>&1
 log "baseline-config suite (5 configs)"
 run timeout 3600 python benchmarks/suite.py > "$D/suite.log" 2>&1
 log "serving degradation drive (max_batch=16)"

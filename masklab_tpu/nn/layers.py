@@ -124,8 +124,14 @@ class GroupNorm(nn.Module):
         # VPU-bound inner loop LOSES ~5% end-to-end (bench A/B
         # 587.6 -> 560.4 dense, round-3 log) — so only route C >= 256.
         import os
+        # crossover measured on INFERENCE (round-3 A/B: C=256 wins 1.6x,
+        # C=128 loses 5%); MASKLAB_GN_KERNEL_MIN_C overrides for A/Bs —
+        # the train-step balance differs (backward-heavy, and the
+        # kernel's custom_vjp backward is relayout-free where XLA's
+        # ragged path relayouts both ways)
+        min_c = int(os.environ.get('MASKLAB_GN_KERNEL_MIN_C', '256'))
         if (jax.devices()[0].platform == 'tpu' and groups <= spatial
-                and c >= 256
+                and c >= min_c
                 and not os.environ.get('MASKLAB_NO_PALLAS_GN')):
             from ..ops.pallas.groupnorm_kernel import band_groupnorm
             y = band_groupnorm(x.reshape(shape[0], spatial, c),
