@@ -40,6 +40,67 @@ from .boxes import cxcywh_to_yxyx, iou_yxyx
 
 NEG = jnp.float32(-1.0)
 
+# Composite uint32 sort keys: lexicographic (value desc, index asc) —
+# identical tie-breaking to lax.top_k — packed into ONE sortable word.
+# A POSITIVE bf16's bit pattern is a uint16 <= 0x7F80 (+inf) MONOTONE in
+# the value, so pattern+1 fits 15 bits (rank 0 is reserved for
+# non-positives: all of them sit below any positive validity floor, so
+# their mutual order is erased by the callers' sub-floor masking), and
+# the low 17 bits hold the inverted index for the exact lowest-index
+# tie-break. 15 + 17 = 32: the round-3 "composite keys need i64"
+# objection dissolves once the value half is bf16 bits instead of f32
+# bits. Correct ONLY under the callers' static bf16-exactness guarantee.
+_IDX_BITS = 17
+_IDX_MASK = (1 << _IDX_BITS) - 1
+
+
+def _composite_encode(values: jnp.ndarray, indices: jnp.ndarray):
+    u = jax.lax.bitcast_convert_type(
+        values.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    # NaN (never produced by sigmoid scores, but harmless) collapses
+    # with the non-positives: > 0.0 is False for it
+    vpart = jnp.where(values > 0.0, u + jnp.uint32(1), jnp.uint32(0))
+    mask_i = jnp.uint32(_IDX_MASK)
+    # the & mask is wrap insurance on top of the callers' capacity gates
+    return (vpart << _IDX_BITS) | ((mask_i - indices.astype(jnp.uint32))
+                                   & mask_i)
+
+
+def _composite_decode(top_key: jnp.ndarray):
+    """-> (values f32 with -inf for non-positive ranks, indices int32)."""
+    mask_i = jnp.uint32(_IDX_MASK)
+    top_i = (mask_i - (top_key & mask_i)).astype(jnp.int32)
+    vp = top_key >> _IDX_BITS
+    top_v = jnp.where(
+        vp > 0,
+        jax.lax.bitcast_convert_type(
+            (vp - jnp.uint32(1)).astype(jnp.uint16),
+            jnp.bfloat16).astype(jnp.float32),
+        -jnp.inf)
+    return top_v, top_i
+
+
+def composite_topk(scores: jnp.ndarray, k: int, floor: float):
+    """Exact ``lax.top_k`` replacement for bf16-exact scores with a
+    positive validity floor: ONE unsigned sort instead of the stable
+    two-operand (f32, iota) variadic sort lax.top_k lowers to on TPU
+    (the round-3 train trace pays 0.75 ms/step for it at [4, 5, 20460]).
+
+    Entries with score >= floor come back exactly as lax.top_k orders
+    them (value desc, index asc); sub-floor slots are masked to (NEG, 0)
+    like the candidate-pool fast branch — dead for NMS purposes either
+    way. Requires ``scores.shape[-1] <= 2**_IDX_BITS``.
+    """
+    n = scores.shape[-1]
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), scores.shape)
+    key = _composite_encode(scores, idx)
+    flipped = jax.lax.sort(~key, dimension=-1, is_stable=False)
+    top_v, top_i = _composite_decode(~flipped[..., :k])
+    dead = top_v < floor
+    return (jnp.where(dead, NEG, top_v).astype(scores.dtype),
+            jnp.where(dead, 0, top_i))
+
+
 # trace-time scope stack: (mesh, batch axis name) — see shard_local_nms
 _SHARD_SCOPE = []
 
@@ -122,8 +183,12 @@ def candidate_pool(scores: jnp.ndarray, k: int, floor: float,
     n = scores.shape[-1]
     # below ~32k anchors the full sort is already sub-millisecond and the
     # extraction+certificate machinery costs more than it saves (train
-    # steps at 256 px have ~12k anchors; the 512 px bench has ~82k)
+    # steps at 256 px have ~12k anchors; the 512 px bench has ~82k) —
+    # but bf16-exact scores still take the single-key composite sort
+    # (safe multi-process too: no cond, no global reduce)
     if n <= max(8 * k, sort_below):
+        if bf16_exact and floor > 0.0 and n <= (1 << _IDX_BITS):
+            return composite_topk(scores, k, floor)
         return tuple(jax.lax.top_k(scores, k))
     if jax.process_count() > 1:
         # multi-process programs must not evaluate the certificate's
@@ -193,39 +258,16 @@ def _pool_body(scores: jnp.ndarray, k: int, floor: float,
 
     # lexicographic (value desc, index asc) candidate order — identical
     # tie-breaking to lax.top_k. With bf16-exact scores the two-operand
-    # variadic sort collapses to ONE uint32 key: a POSITIVE bf16's bit
-    # pattern is a uint16 <= 0x7F80 (+inf) MONOTONE in the value, so
-    # pattern+1 fits 15 bits (rank 0 is reserved for non-positives: all
-    # of them sit below any positive ``floor``, so their mutual order is
-    # erased by ``fast``'s sub-floor masking and by the certificate's
-    # conservative -inf decode), and the low 17 bits hold the inverted
-    # index for the exact lowest-index tie-break. 15 + 17 = 32: the
-    # round-3 "composite keys need i64" objection dissolves once the
-    # value half is bf16 bits instead of f32 bits.
-    idx_bits = 17
-    # the index field must hold every PADDED index (base_idx runs to
-    # s*m - 1, not n - 1), hence the gate on s * m; the & mask below is
-    # wrap insurance on top
-    use_composite = (bf16_exact and floor > 0.0 and s * m <= (1 << idx_bits))
+    # variadic sort collapses to ONE uint32 key (_composite_encode; the
+    # certificate's conservative -inf decode also erases non-positive
+    # ranks). The index field must hold every PADDED index (base_idx
+    # runs to s*m - 1, not n - 1), hence the gate on s * m.
+    use_composite = (bf16_exact and floor > 0.0
+                     and s * m <= (1 << _IDX_BITS))
     if use_composite:
-        mask_i = jnp.uint32((1 << idx_bits) - 1)
-        u = jax.lax.bitcast_convert_type(
-            cand_v.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
-        # NaN (never produced by sigmoid scores, but harmless) collapses
-        # with the non-positives: > 0.0 is False for it
-        vpart = jnp.where(cand_v > 0.0, u + jnp.uint32(1), jnp.uint32(0))
-        key = (vpart << idx_bits) | ((mask_i - cand_i.astype(jnp.uint32))
-                                     & mask_i)
+        key = _composite_encode(cand_v, cand_i)
         flipped = jax.lax.sort(~key, dimension=-1, is_stable=False)
-        top_key = ~flipped[..., :k]
-        top_i = (mask_i - (top_key & mask_i)).astype(jnp.int32)
-        vp = top_key >> idx_bits
-        top_v = jnp.where(
-            vp > 0,
-            jax.lax.bitcast_convert_type(
-                (vp - jnp.uint32(1)).astype(jnp.uint16),
-                jnp.bfloat16).astype(jnp.float32),
-            -jnp.inf)
+        top_v, top_i = _composite_decode(~flipped[..., :k])
     else:
         neg, sidx = jax.lax.sort(
             (-cand_v, cand_i), dimension=-1, num_keys=2, is_stable=False)

@@ -572,6 +572,62 @@ class TestCompositeKeyPool:
         # (value, index) variadic sort remains anywhere
         assert max(arities) == 1, arities
 
+    def test_composite_topk_small_n_matches_topk(self):
+        # the small-n path (train steps: ~20k anchors < sort_below) also
+        # takes the single-key sort when bf16-exact — exact top_k parity
+        # on the valid prefix across regimes
+        import jax
+        from masklab_tpu.ops.nms import composite_topk
+        rng = np.random.RandomState(15)
+        cases = [
+            self._quant(0.5 + rng.rand(2, 5, 20460) * 0.5),   # dense
+            self._quant(rng.rand(2, 5, 20460) * 0.3),         # sparse
+        ]
+        plateau = np.full((1, 1, 20460), 0.25, np.float32)
+        plateau[0, 0, 17::97] = self._quant(np.float32(0.75))
+        cases.append(plateau)
+        inf_case = self._quant(rng.rand(1, 2, 20460) * 3.0)
+        inf_case[0, 0, 7] = np.inf
+        cases.append(inf_case)
+        for base in cases:
+            scores = jnp.asarray(base)
+            ref_v, ref_i = jax.lax.top_k(scores, 256)
+            got_v, got_i = jax.jit(
+                lambda s: composite_topk(s, 256, 0.5))(scores)
+            valid = np.asarray(ref_v) >= 0.5
+            got_valid = np.asarray(got_v) >= 0.5
+            np.testing.assert_array_equal(valid, got_valid)
+            np.testing.assert_array_equal(np.asarray(got_v)[valid],
+                                          np.asarray(ref_v)[valid])
+            np.testing.assert_array_equal(np.asarray(got_i)[valid],
+                                          np.asarray(ref_i)[valid])
+
+    def test_composite_topk_value_exactly_at_floor_is_valid(self):
+        # >= floor is the validity contract: a score EQUAL to the floor
+        # must survive the dead-slot masking
+        from masklab_tpu.ops.nms import composite_topk
+        floor = float(np.asarray(jnp.asarray(0.5, jnp.bfloat16)))
+        base = np.full((1, 8192), 0.1, np.float32)
+        base[0, 3] = floor
+        got_v, got_i = composite_topk(jnp.asarray(base), 4, floor)
+        assert float(got_v[0, 0]) == floor and int(got_i[0, 0]) == 3
+        assert (np.asarray(got_v[0, 1:]) == -1.0).all()
+
+    def test_small_n_pool_routes_composite(self):
+        # candidate_pool's sub-sort_below path lowers single-operand when
+        # bf16-exact (the train-step sort this replaces was two-operand)
+        import re
+        import jax
+        from masklab_tpu.ops.nms import candidate_pool
+        scores = jnp.zeros((4, 5, 20460), jnp.float32)
+        fn = jax.jit(lambda s: candidate_pool(
+            s, 256, floor=0.05, bf16_exact=True))
+        txt = fn.lower(scores).as_text()
+        arities = [len([a for a in args.split(',') if a.strip()])
+                   for args in re.findall(r'"stablehlo.sort"\(([^)]*)\)',
+                                          txt)]
+        assert arities and max(arities) == 1, arities
+
     def test_compiled_sort_is_single_operand(self):
         # the HLO proof: with bf16_exact the candidate order comes from a
         # single-operand uint32 sort; without it, from the two-operand
