@@ -64,6 +64,9 @@ class ClassificationSubNet(nn.Module):
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]):
+        if len(inputs) != self.num_blocks:
+            raise ValueError(f'{len(inputs)} feature levels != '
+                             f'num_blocks={self.num_blocks}')
         heads = []
         for idx, head in enumerate(inputs):
             x = HeadBlock(self.num_depth, self.num_features,
@@ -95,6 +98,9 @@ class BoxRegressionSubNet(nn.Module):
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]):
+        if len(inputs) != self.num_blocks:
+            raise ValueError(f'{len(inputs)} feature levels != '
+                             f'num_blocks={self.num_blocks}')
         heads = []
         for idx, head in enumerate(inputs):
             x = HeadBlock(self.num_depth, self.num_features,

@@ -53,6 +53,24 @@ class MaskLab(nn.Module):
             raise ValueError(
                 'backbone_outputs must be in ascending-stride order, got '
                 f'{cfg.backbone.backbone_outputs}')
+        # raw_heads concatenates FPN outputs FIRST and non-FPN endpoints
+        # after (the reference's FPN + P6/P7-passthrough layout); a
+        # non-FPN output with a stride below any FPN input would
+        # interleave out of the priors' stride order and silently
+        # misalign every cls/loc row with its anchor (round-4 review)
+        fpn_strides = [2 ** int(n[-1]) for n in cfg.backbone.backbone_outputs
+                       if n in cfg.detection.feature_pyramid_inputs]
+        other_strides = [2 ** int(n[-1])
+                         for n in cfg.backbone.backbone_outputs
+                         if n not in cfg.detection.feature_pyramid_inputs]
+        if fpn_strides and other_strides \
+                and min(other_strides) < max(fpn_strides):
+            raise ValueError(
+                'every backbone output outside feature_pyramid_inputs must '
+                'have a higher stride than the FPN inputs (the head '
+                'feature order is FPN outputs then extras); got outputs '
+                f'{cfg.backbone.backbone_outputs} with FPN inputs '
+                f'{cfg.detection.feature_pyramid_inputs}')
         self.prior = priors_from_config(cfg)
         backbone_cls = BackboneNetwork
         if cfg.compute.remat_backbone:

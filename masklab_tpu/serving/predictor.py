@@ -16,7 +16,9 @@ no image codec; see serving.server for the wire format.
 """
 from __future__ import annotations
 
+import collections
 import io
+import threading
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -52,7 +54,8 @@ class MaskLabPredictor:
 
     def __init__(self, model: MaskLab, variables: Dict,
                  config: Optional[ModelConfiguration] = None,
-                 visualization: bool = False, mesh=None):
+                 visualization: bool = False, mesh=None,
+                 max_pipelines: int = 32):
         self.model = model
         self.mesh = mesh
         # checkpoint-restored leaves are host numpy arrays; without an
@@ -62,7 +65,13 @@ class MaskLabPredictor:
         self.variables = self.place_variables(variables)
         self.config = config or model.config
         self.visualization = visualization
-        self._jitted = {}
+        # LRU: one pipeline per (resolution, mode). Unbounded growth lets
+        # clients sweeping arbitrary photo sizes retain every compiled
+        # executable forever (each a 20 s-5 min remote compile on the dev
+        # tunnel); warm production sizes stay resident via recency.
+        self._jitted: 'collections.OrderedDict' = collections.OrderedDict()
+        self._jitted_lock = threading.Lock()
+        self.max_pipelines = max_pipelines
 
     def place_variables(self, variables: Dict):
         """Device-put a (host) variable tree with this predictor's
@@ -143,9 +152,21 @@ class MaskLabPredictor:
 
     def _get(self, in_hw: Tuple[int, int], mode: str):
         key = (in_hw, mode)
-        if key not in self._jitted:
-            self._jitted[key] = self._pipeline(in_hw, mode)
-        return self._jitted[key]
+        with self._jitted_lock:
+            fn = self._jitted.get(key)
+            if fn is not None:
+                self._jitted.move_to_end(key)
+                return fn
+        # building the jit WRAPPER is cheap (compilation happens at first
+        # call); doing it outside the lock keeps concurrent request
+        # threads from serializing here when the batcher is off
+        fn = self._pipeline(in_hw, mode)
+        with self._jitted_lock:
+            fn = self._jitted.setdefault(key, fn)
+            self._jitted.move_to_end(key)
+            while len(self._jitted) > self.max_pipelines:
+                self._jitted.popitem(last=False)
+        return fn
 
     # ---- public API ----
 
@@ -198,6 +219,11 @@ class MaskLabPredictor:
         import cv2
         arr = np.frombuffer(content, np.uint8)
         bgr = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+        if bgr is None:
+            # surface a clear client error instead of cv2.cvtColor's
+            # opaque !_src.empty() assertion
+            raise ValueError('could not decode image bytes '
+                             '(corrupt or unsupported format)')
         rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
         return self.predict(rgb, mode)
 

@@ -2,8 +2,10 @@
 
 Replaces the reference's ``SaveInferenceModel`` h5 dumps
 (engine/callbacks.py:143-158): each epoch the *inference-relevant* state
-(params + batch stats) is saved under ``"{loss:.5f}-{epoch}"`` so a lexical
-sort still picks the best-loss checkpoint (road_project/train.py:84-85).
+(params + batch stats) is saved under ``"{loss:.5f}-{epoch}"``; the best
+checkpoint is picked by PARSING the loss (deliberate deviation — the
+reference's lexical sort, road_project/train.py:84-85, misorders across
+powers of ten; see best_checkpoint).
 Unlike the reference, optimizer state and the BoxLoss moving statistics are
 ALSO saved (full resume — the reference had none, SURVEY.md §5).
 """
@@ -46,7 +48,14 @@ class CheckpointManager:
         return path
 
     def best_checkpoint(self) -> Optional[str]:
-        """Lexically-smallest name = lowest loss (train.py:84-85).
+        """Lowest-loss checkpoint by PARSED loss value.
+
+        Deliberate deviation: the reference sorts the h5 names lexically
+        (road_project/train.py:84-85), which misorders once losses span a
+        power of ten — sorted(['12.31442-00', '3.40781-03'])[0] is the
+        WORSE epoch-0 model ('1' < '3'), silently pinning MLflow and the
+        serving hot-reload to it. The loss is parsed from the
+        '{loss:.5f}-{epoch}' name instead; nan losses rank last.
 
         Orbax writes in-progress saves as '<name>.orbax-checkpoint-tmp-*'
         siblings before the atomic rename; they must never be picked up
@@ -56,7 +65,16 @@ class CheckpointManager:
                  and '-' in n and 'tmp' not in n]
         if not names:
             return None
-        return os.path.join(self.save_dir, sorted(names)[0])
+
+        def key(name):
+            try:
+                loss = float(name.rsplit('-', 1)[0])
+            except ValueError:
+                return (2, 0.0, name)          # unparseable: last
+            if np.isnan(loss):
+                return (1, 0.0, name)          # nan loss: after real ones
+            return (0, loss, name)
+        return os.path.join(self.save_dir, min(names, key=key))
 
     def restore(self, path: Optional[str] = None) -> Dict:
         path = path or self.best_checkpoint()

@@ -97,11 +97,14 @@ class MaskLabTrainer:
             variables, tx, box_beta=self.config.loss.box_loss_beta)
 
     def _phase_tx(self, base_lr, max_lr, step_size, freeze_depth):
+        """-> (tx, schedule): one schedule object serves both the
+        optimizer and the epoch lr log, so they cannot diverge."""
         schedule = cyclic_lr(base_lr, max_lr, step_size)
         mask = trainable_mask(self.state.params,
                               self.config.backbone.backbone_type,
                               freeze_depth)
-        return optax.chain(rectified_adam(schedule), masked_updates(mask))
+        tx = optax.chain(rectified_adam(schedule), masked_updates(mask))
+        return tx, schedule
 
     def _rebuild_state_for_phase(self, tx) -> None:
         """New optimizer per phase (the reference recompiled each phase,
@@ -123,8 +126,8 @@ class MaskLabTrainer:
                   epochs: int, base_lr: float, max_lr: float,
                   step_size: int, freeze_depth: str,
                   steps_per_epoch: Optional[int] = None) -> None:
-        schedule = cyclic_lr(base_lr, max_lr, step_size)
-        tx = self._phase_tx(base_lr, max_lr, step_size, freeze_depth)
+        tx, schedule = self._phase_tx(base_lr, max_lr, step_size,
+                                      freeze_depth)
         self._rebuild_state_for_phase(tx)
         multi = self.mesh.devices.size > 1
         seed = self.config.train.seed
@@ -174,26 +177,55 @@ class MaskLabTrainer:
     def _run_epochs(self, name, source, valid_generator, epochs, schedule,
                     step_fn, eval_fn, steps, multi,
                     eval_sharded: bool = False) -> None:
+        # ONE prefetcher continues across the phase's epoch boundaries,
+        # exactly like the reference's OrderedEnqueuer under
+        # steps_per_epoch < len(sequence): batches keep advancing through
+        # the dataset and the generator's end-of-iteration shuffle fires
+        # at the TRUE end of the data. The old per-epoch recreation (a)
+        # abandoned a fill thread blocked on q.put each epoch (leaking
+        # prefetch-many full batches per abandonment), (b) restarted at
+        # index 0 so every epoch retrained on the same leading `steps`
+        # batches, and (c) never reached the generator's shuffle
+        # (round-4 review finding).
+        prefetcher = PrefetchIterator(source, prefetch=4)
+        it = iter(prefetcher)
+        try:
+            self._run_epochs_inner(name, source, valid_generator, epochs,
+                                   schedule, step_fn, eval_fn, steps,
+                                   multi, eval_sharded, prefetcher, it)
+        finally:
+            # self._prefetcher tracks rotation on dataset exhaustion
+            getattr(self, '_prefetcher', prefetcher).close()
+
+    def _run_epochs_inner(self, name, source, valid_generator, epochs,
+                          schedule, step_fn, eval_fn, steps, multi,
+                          eval_sharded, prefetcher, it) -> None:
+        self._prefetcher = prefetcher
         for epoch in range(epochs):
             t0 = time.time()
             step_metrics = []
-            it = iter(PrefetchIterator(source, prefetch=4))
             for step_idx in range(steps):
                 try:
                     batch = next(it)
                 except StopIteration:
-                    it = iter(PrefetchIterator(source, prefetch=4))
+                    # dataset exhausted: the source just ran its epoch-end
+                    # shuffle; rotate to a fresh pass
+                    self._prefetcher.close()
+                    self._prefetcher = PrefetchIterator(source, prefetch=4)
+                    it = iter(self._prefetcher)
                     batch = next(it)
                 batch = self._prepare(batch)
                 if multi:
                     batch = shard_batch(batch, self.mesh)
                 self.state, metrics = step_fn(self.state, batch)
-                step_metrics.append(
-                    {k: float(v) for k, v in metrics.items()})
+                # keep the DEVICE scalars; float() here would block the
+                # dispatch pipeline on every step's completion (~80 ms
+                # tunnel round trip per step on the dev setup)
+                step_metrics.append(metrics)
             # every logged metric is the epoch MEAN over steps (the
             # reference's fit_generator averaged losses/metrics per epoch)
             epoch_metrics = {
-                k: float(np.mean([m[k] for m in step_metrics]))
+                k: float(np.mean([float(m[k]) for m in step_metrics]))
                 for k in (step_metrics[0] if step_metrics else {})}
             train_loss = epoch_metrics.get('loss', float('nan'))
             log_line = (f'[{name}] epoch {epoch + 1}/{epochs} '
@@ -229,16 +261,33 @@ class MaskLabTrainer:
 
     def smoke_check(self, generator: MaskLabGenerator,
                     num_steps: int = 1) -> None:
-        """Tiny-LR fit proving the graph compiles/trains (train.py:77-110)."""
+        """Tiny-LR fit proving the graph compiles/trains (train.py:77-110).
+
+        Rides the SAME mesh shardings as the real phases — an unsharded
+        step would place the full global batch on one device and could
+        OOM-abort a run whose per-device shards actually fit (round-4
+        review finding)."""
+        if num_steps <= 0:
+            self.log('smoke check skipped (num_steps=0)')
+            return
         tx = optax.chain(
             rectified_adam(1e-10),
             masked_updates(trainable_mask(
                 self.state.params, self.config.backbone.backbone_type,
                 'C0')))
         self._rebuild_state_for_phase(tx)
-        step_fn = make_train_step(self.model, with_metrics=False)
+        multi = self.mesh.devices.size > 1
+        if multi:
+            step_fn = make_parallel_train_step(self.model, self.mesh,
+                                               with_metrics=False)
+            self.state = jax.device_put(self.state,
+                                        replicate_sharding(self.mesh))
+        else:
+            step_fn = make_train_step(self.model, with_metrics=False)
         for i in range(num_steps):
             batch = self._prepare(generator[i % max(1, len(generator))])
+            if multi:
+                batch = shard_batch(batch, self.mesh)
             self.state, metrics = step_fn(self.state, batch)
             loss = float(metrics['loss'])
             if not np.isfinite(loss):

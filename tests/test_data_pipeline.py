@@ -110,6 +110,65 @@ def test_multiprocess_loader_scale_rng_advances_without_shuffle(data_dir):
         f'scale buckets identical across 4 no-shuffle epochs: {shapes[0]}')
 
 
+def test_prefetch_iterator_close_stops_consuming():
+    """close() must stop the fill thread WITHOUT advancing the source
+    further — an abandoned prefetcher used to block on q.put forever,
+    holding `prefetch` batches alive and (for MaskLabGenerator) firing
+    the end-of-epoch shuffle concurrently with its successor (round-4
+    review finding)."""
+    import time
+    from masklab_tpu.data.generator import PrefetchIterator
+
+    consumed = []
+
+    def source():
+        for i in range(1000):
+            consumed.append(i)
+            yield i
+
+    pf = PrefetchIterator(source(), prefetch=2)
+    it = iter(pf)
+    assert next(it) == 0 and next(it) == 1
+    pf.close()
+    assert not pf.thread.is_alive()
+    n_after_close = len(consumed)
+    time.sleep(0.3)
+    assert len(consumed) == n_after_close     # source never advanced again
+    assert n_after_close <= 2 + 2 + 1         # consumed + prefetch + in-flight
+
+
+def test_prefetch_iterator_continues_across_epoch_boundary():
+    """The trainer keeps ONE prefetcher across epochs: 6 batches pulled
+    from a 4-batch source via rotation must cover the whole source and
+    wrap — not restart at 0 each 'epoch'."""
+    from masklab_tpu.data.generator import PrefetchIterator
+
+    class Source:
+        def __init__(self):
+            self.epochs = 0
+
+        def __iter__(self):
+            for i in range(4):
+                yield (self.epochs, i)
+            self.epochs += 1
+
+    src = Source()
+    pf = PrefetchIterator(src, prefetch=2)
+    it = iter(pf)
+    got = []
+    for _ in range(6):
+        try:
+            got.append(next(it))
+        except StopIteration:
+            pf.close()
+            pf = PrefetchIterator(src, prefetch=2)
+            it = iter(pf)
+            got.append(next(it))
+    pf.close()
+    assert got == [(0, 0), (0, 1), (0, 2), (0, 3), (1, 0), (1, 1)]
+    assert src.epochs >= 1                    # end-of-epoch hook reached
+
+
 def test_imglab_roundtrip(data_dir):
     import json
     path = os.path.join(data_dir, 'labels', 'car', 'labels.json')

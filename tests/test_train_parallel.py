@@ -184,6 +184,23 @@ def test_checkpoint_roundtrip(setup, tmp_path):
             == cfg.backbone.backbone_type)
 
 
+def test_best_checkpoint_parses_loss_across_power_of_ten(tmp_path):
+    """Deliberate deviation from the reference's lexical h5 sort
+    (road_project/train.py:84-85): '12.31442-00' sorts lexically BEFORE
+    '3.40781-03', so the reference pins 'best' to the worse epoch-0 model
+    once losses cross a power of ten. The loss must be parsed."""
+    from masklab_tpu.train.checkpoints import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path), None)
+    for name in ('12.31442-00', '3.40781-03', 'nan-05'):
+        os.makedirs(os.path.join(str(tmp_path), name))
+    best = mgr.best_checkpoint()
+    assert best is not None and best.endswith('3.40781-03'), best
+    # nan-only directory: still returns something rather than crashing
+    mgr2 = CheckpointManager(str(tmp_path / 'n2'), None)
+    os.makedirs(os.path.join(str(tmp_path / 'n2'), 'nan-00'))
+    assert mgr2.best_checkpoint().endswith('nan-00')
+
+
 def test_full_training_resume(setup, tmp_path):
     """Optimizer state + step + BoxLoss moving stats all round-trip —
     resumed training continues identically (the reference could not resume
