@@ -54,7 +54,14 @@ def evaluate_dataset(predictor: MaskLabPredictor, dataset: MaskLabDataset,
         valid_gt = gt_boxes[:, 0] != -1 if len(gt_boxes) else \
             np.zeros((0,), bool)
 
-        # instance matching at box IoU 0.5, class-consistent
+        # instance matching: EVERY class-consistent (gt, pred) pair with
+        # box IoU > 0.5 contributes a mask-IoU sample — the reference's
+        # zip(*np.where(iou > 0.5)) accumulation (train.py:182-191), not
+        # a per-gt best match (duplicate detections contribute multiple
+        # samples there, and the historical numbers depend on it). The
+        # union == 0 guard is a deliberate deviation: the reference
+        # divides by np.sum(mask_union) bare, so an empty-vs-empty pair
+        # poisons its running sum with nan.
         if valid_gt.any() and valid_pred.any():
             pb = det[valid_pred][:, :4].astype(np.float64)
             gb = gt_boxes[valid_gt][:, :4]
@@ -64,10 +71,7 @@ def evaluate_dataset(predictor: MaskLabPredictor, dataset: MaskLabDataset,
             iou = iou * (gcls[:, None] == pcls[None, :])
             pmasks = padded[valid_pred]
             gmasks = gt_masks[valid_gt]
-            for gi in range(iou.shape[0]):
-                pi = int(np.argmax(iou[gi]))
-                if iou[gi, pi] < 0.5:
-                    continue
+            for gi, pi in zip(*np.where(iou > 0.5)):
                 gm = gmasks[gi] > 0
                 pm = pmasks[pi] > 0.5
                 union = (gm | pm).sum()
@@ -76,7 +80,12 @@ def evaluate_dataset(predictor: MaskLabPredictor, dataset: MaskLabDataset,
                 mask_iou = (gm & pm).sum() / union
                 inst_ious[instance_labels[int(gcls[gi])]].append(mask_iou)
 
-        # semantic IoU per channel; crack only when instances exist
+        # semantic IoU per channel; crack only when instances exist.
+        # Deliberate deviation: the reference scores other_road/my_road on
+        # EVERY image (train.py:195-205) — an image without the label
+        # counts as IoU 0 even when the prediction is also empty (a
+        # correct rejection). Gating on semantic_exist scores only images
+        # where the label is annotated.
         for si, label in enumerate(semantic_labels):
             if not sample['semantic_exist'][si]:
                 continue

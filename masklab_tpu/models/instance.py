@@ -170,7 +170,6 @@ class MaskSubNet(nn.Module):
         outs = []
         for idx, crop in enumerate(level_crops):
             b, k = crop.shape[0], crop.shape[1]
-            flat_shape = (b * k,) + crop.shape[2:]
             out_hw = (crop.shape[2] * 2, crop.shape[3] * 2)
 
             def full(mdl, c, idx=idx, b=b, k=k):

@@ -84,14 +84,23 @@ def _paste_edges(det_boxes: jnp.ndarray, image_hw: Tuple[int, int],
     """Shared box->(y1,y2,x1,x2) clipping + adaptive keep flag.
 
     Mirrors CropAndPadMask (misc.py:366-374): boxes floored at 1, and if
-    the best confidence in the batch is above ``conf_threshold`` only
+    the best confidence IN THE IMAGE is above ``conf_threshold`` only
     boxes >= it are kept, else everything is.
+
+    Deliberate deviation (same rationale as crack_to_instance's
+    per-image bbox): the reference reduced the best confidence over the
+    whole BATCH (misc.py:367-370) — fine when a batch is one client's
+    frames, but micro-batched/mesh serving co-batches INDEPENDENT
+    requests (and zero-pad rows), so a batch-global threshold would let
+    one request's confident detection silently blank another request's
+    sub-50 masks. The reduce is per image; identical for batch size 1.
     """
     h, w = image_hw
     boxes = jnp.maximum(det_boxes.astype(jnp.float32), 1.0)  # misc.py:374
-    best = jnp.max(det_boxes[..., -1].astype(jnp.float32))
+    conf = det_boxes[..., -1].astype(jnp.float32)            # [..., K]
+    best = jnp.max(conf, axis=-1, keepdims=True)
     thr = jnp.where(best > conf_threshold, conf_threshold, -100.0)
-    keep = det_boxes[..., -1].astype(jnp.float32) >= thr     # [B, K]
+    keep = conf >= thr                                       # [..., K]
     cx, cy, bw, bh = (boxes[..., 0], boxes[..., 1],
                       boxes[..., 2], boxes[..., 3])
     x1 = jnp.clip(cx - bw / 2, 0, w)

@@ -48,7 +48,12 @@ def crack_to_instance(crack: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     cy = ymin.astype(jnp.int32) + height // 2
     cx = xmin.astype(jnp.int32) + width // 2
     class_id = jnp.full_like(cx, 5)
-    conf = jnp.clip(100 * height * width, 0, 100)
+    # semantics of the reference's clip(100*h*w, 0, 100) (misc.py:536):
+    # 100 when the crack bbox is non-degenerate, else 0 — computed as a
+    # predicate because the int32 product overflows (wraps negative ->
+    # conf 0, crack reported absent) once h*w exceeds ~21.4M px, e.g.
+    # large-bbox cracks in 8K frames
+    conf = jnp.where(height * width > 0, 100, 0)
     det = jnp.stack([cx, cy, width, height, class_id, conf],
                     axis=-1)[:, None, :].astype(jnp.float32)
     return det, crack[:, None].astype(jnp.float32)

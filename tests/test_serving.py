@@ -40,6 +40,31 @@ def test_crop_and_pad_adaptive_threshold():
     assert out[0, 0, 16, 16] > 0.9
 
 
+def test_adaptive_threshold_is_per_image_not_per_batch():
+    """Documented deviation from the reference's batch-global max
+    (misc.py:367-370): micro-batched serving co-batches INDEPENDENT
+    requests, so image A's confident detection must not blank image B's
+    sub-50 masks (round-4 review finding)."""
+    det = jnp.asarray([
+        [[16, 16, 16, 16, 0, 90]],      # image A: one confident box
+        [[16, 16, 16, 16, 0, 30]],      # image B: best conf below 50
+    ], jnp.float32)
+    masks = jnp.ones((2, 1, 8, 8), jnp.float32)
+    out = np.asarray(crop_and_pad_masks(det, masks, (32, 32)))
+    assert out[0, 0, 16, 16] > 0.9      # A pastes (>= its threshold)
+    assert out[1, 0, 16, 16] > 0.9      # B pastes too (its own best < 50)
+
+
+def test_crack_conf_no_int32_overflow():
+    """100*h*w wrapped negative above ~21.4M px bboxes, reporting a
+    detected crack as absent (round-4 review finding)."""
+    crack = np.zeros((1, 5000, 5000), np.float32)
+    crack[0, 0, 0] = 1.0
+    crack[0, 4999, 4999] = 1.0          # bbox 4999x4999 ~ 25M px
+    det, _ = crack_to_instance(jnp.asarray(crack))
+    assert np.asarray(det)[0, 0, 5] == 100
+
+
 def test_upsample_output_scaling():
     boxes = jnp.asarray([[[10, 20, 30, 40, 2, 0.75]]], jnp.float32)
     masks = jnp.full((1, 1, 4, 4), 0.8, jnp.float32)
