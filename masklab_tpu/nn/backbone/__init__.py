@@ -76,8 +76,15 @@ class BackboneNetwork(nn.Module):
         outputs = {k: v for k, v in endpoints.items()
                    if k in self.backbone_outputs}
         # the last included C endpoint feeds the extras (base.py:294,307)
-        last_c = [endpoints[k] for k in ('C1', 'C2', 'C3', 'C4', 'C5')
-                  if k in self.backbone_outputs][-1]
+        c_taps = [endpoints[k] for k in ('C1', 'C2', 'C3', 'C4', 'C5')
+                  if k in self.backbone_outputs]
+        if not c_taps:
+            raise ValueError(
+                'backbone_outputs must include at least one C1-C5 '
+                f'endpoint (got {tuple(self.backbone_outputs)}); the '
+                'P6/P7 extras are built from the last included C '
+                'endpoint (base.py:294,307)')
+        last_c = c_taps[-1]
 
         def check_nonempty(level_name, t):
             if t.shape[-3] == 0 or t.shape[-2] == 0:
@@ -162,7 +169,10 @@ def module_frozen(backbone_type: str, module_name: str,
             depth = int(freeze_depth[1])
             if stage < depth:
                 return True
-            if stage == depth and unit == 1:
+            # in-unit preact rule applies to the C2-C4 taps only: the C1
+            # tap is 'relu0' (base.py:127), BEFORE stage1, so
+            # stage1_unit1 stays fully trainable at C1 (round-4 review)
+            if stage == depth and unit == 1 and depth >= 2:
                 return child.partition('/')[0] == 'bn1'
         return False
     if bt in ('resnet50v2', 'resnet101v2'):
@@ -221,9 +231,22 @@ def module_frozen(backbone_type: str, module_name: str,
             return True
         if module_name.startswith('top'):
             return freeze_depth == 'C5'
-        m = re.match(r'stage(\d+)_', module_name)
+        m = re.match(r'stage(\d+)_block(\d+)', module_name)
         if m:
-            return int(m.group(1)) <= _EFFNET_LAST_FROZEN_STAGE[freeze_depth]
+            stage, block = int(m.group(1)), int(m.group(2))
+            last = _EFFNET_LAST_FROZEN_STAGE[freeze_depth]
+            if stage <= last:
+                return True
+            # the C1-C4 taps are the expand ACTIVATION inside the next
+            # stage's first block (block{2,3,4,6}a_expand_activation,
+            # base.py:168-181): the reference's layer-order cutoff also
+            # freezes that block's expand conv + BN, which are built
+            # BEFORE the tap (same partial-block rule as seresnext50;
+            # round-4 review)
+            if freeze_depth != 'C5' and stage == last + 1 and block == 0:
+                parts = module_name.split('/')
+                return (len(parts) >= 2
+                        and parts[1] in ('Conv_0', '_BN_0'))
         return False
     if bt == 'seresnext50':
         # inner taps (base.py:139-145): C2-C4 are the post-conv1 relus

@@ -72,6 +72,7 @@ def invert_converter(converter, named_weights: Sequence[Weight],
     total = int(np.sum(sizes))
     src_paths = _tree_leaves_with_paths(flax_tree)
     flat = np.full(total, np.nan, dtype=np.float64)
+    written = np.zeros(total, dtype=bool)
 
     # batch the tag passes so each stays float32-exact (tag 0 = "not in
     # this batch"; real tags start at 1)
@@ -105,7 +106,18 @@ def invert_converter(converter, named_weights: Sequence[Weight],
                     f'{np.asarray(tag_leaf).shape} vs params shape '
                     f'{np.asarray(src_leaf).shape}')
             sel = t > 0
-            flat[start + t[sel].astype(np.int64) - 1] = s[sel]
+            idx = start + t[sel].astype(np.int64) - 1
+            # injectivity: a Keras slot written twice (within a leaf OR
+            # across leaves — e.g. a converter aliasing one weight into
+            # two flax leaves) would be silent last-write-wins; together
+            # with the unwritten-slot nan check below, this proves the
+            # bijection the docstring claims (round-4 review)
+            if written[idx].any() or np.unique(idx).size != idx.size:
+                raise ImportMismatch(
+                    f'leaf {"/".join(map(str, path))}: converter writes '
+                    f'an already-written Keras slot — not a bijection')
+            written[idx] = True
+            flat[idx] = s[sel]
         start = stop
 
     if np.isnan(flat).any():

@@ -119,8 +119,7 @@ def take_depthwise(cur: WeightCursor) -> Dict:
     """DepthwiseConv2D [kh,kw,C,mult] -> grouped nn.Conv [kh,kw,1,C*mult]."""
     k = cur.take('depthwise_kernel')
     kh, kw, cin, mult = k.shape
-    return {'kernel': k.reshape(kh, kw, cin * mult, 1).transpose(0, 1, 3, 2)
-            if mult == 1 else k.reshape(kh, kw, 1, cin * mult)}
+    return {'kernel': k.reshape(kh, kw, 1, cin * mult)}
 
 
 def take_conv_transpose(cur: WeightCursor, use_bias: bool = True,
@@ -316,6 +315,18 @@ def _group_by_layer(weights: Sequence[Weight]) -> List[Tuple[str, List[Weight]]]
     return groups
 
 
+def _check_all_consumed(named, family: str) -> None:
+    """Every weight-bearing layer must be consumed by the converter:
+    leftovers mean the h5's topology is LARGER than the converter's
+    (e.g. a resnet101v2 checkpoint fed to the resnet50v2 entry) — fail
+    loudly instead of importing a structurally wrong subset (the
+    'nothing is silently mis-assigned' contract; round-4 review)."""
+    if named:
+        raise ImportMismatch(
+            f'{family}: {len(named)} unconsumed weight-bearing layers: '
+            f'{sorted(named)[:6]}')
+
+
 def convert_mobilenet(weights: Sequence[Weight]) -> Tuple[Dict, Dict]:
     """keras.applications MobileNet(alpha=1) -> MobileNetV1 body
     (params, batch_stats). Layer names: conv1, conv1_bn, conv_dw_k,
@@ -342,6 +353,7 @@ def convert_mobilenet(weights: Sequence[Weight]) -> Tuple[Dict, Dict]:
                 params, stats)
         conv_bn(f'conv_pw_{i}', f'conv_pw_{i}_bn', False, f'pw{i}',
                 params, stats)
+    _check_all_consumed(by_layer, 'mobilenet')
     return params, stats
 
 
@@ -417,6 +429,7 @@ def convert_seresnet34(weights: Sequence[Weight],
     params['bn1'], stats['bn1'] = bn('bn1')
     for leftover in se_iter:
         raise ImportMismatch(f'seresnet34: unconsumed SE convs {leftover}')
+    _check_all_consumed(named, 'seresnet34')
     return params, stats
 
 
@@ -470,6 +483,7 @@ def convert_resnet_v2(weights: Sequence[Weight],
             params[flax_name] = p
             stats[flax_name] = s
     params['post_bn'], stats['post_bn'] = bn('post_bn')
+    _check_all_consumed(named, 'resnet_v2')
     return params, stats
 
 
@@ -488,6 +502,7 @@ def convert_vgg16(weights: Sequence[Weight]) -> Tuple[Dict, Dict]:
             cur = WeightCursor(named.pop(name), name)
             params[name] = take_conv(cur, use_bias=True)
             cur.finish()
+    _check_all_consumed(named, 'vgg16')
     return params, {}
 
 
@@ -571,6 +586,66 @@ def convert_resnext50(weights: Sequence[Weight]) -> Tuple[Dict, Dict]:
             ss[flax_name] = s
         params[f'stage{si + 2}'] = sp
         stats[f'stage{si + 2}'] = ss
+    _check_all_consumed(named, 'resnext50')
+    return params, stats
+
+
+def convert_resnet50(weights: Sequence[Weight]) -> Tuple[Dict, Dict]:
+    """tf.keras.applications ResNet50 v1 (engine/backbone/base.py:190-195;
+    endpoint taps base.py:105-111 are the stage-output relus) ->
+    ResNet(stride_first=True, conv_bias=True) (params, batch_stats).
+
+    Layer names: conv1_conv/conv1_bn (biased 7x7 stem), then per block
+    ``conv{s}_block{b}_{1,2,3}_{conv,bn}`` (biased convs, stride on the
+    first 1x1 — 'caffe style') plus ``_0_{conv,bn}`` shortcut on each
+    stack's first block; eps 1.001e-5 everywhere.
+    """
+    named: Dict[str, List[Weight]] = {}
+    for layer, items in _group_by_layer(weights):
+        named.setdefault(layer, []).extend(items)
+
+    def gcur(name: str) -> WeightCursor:
+        if name not in named:
+            raise ImportMismatch(f'resnet50: missing layer {name!r}')
+        return WeightCursor(named.pop(name), name)
+
+    def bn(name: str):
+        cur = gcur(name)
+        p, st = take_bn(cur)
+        cur.finish()
+        return {'BatchNorm_0': p}, {'BatchNorm_0': st}
+
+    def conv(name: str):
+        cur = gcur(name)
+        out = take_conv(cur, use_bias=True)
+        cur.finish()
+        return out
+
+    params: Dict = {'stem': conv('conv1_conv')}
+    stats: Dict = {}
+    params['stem_bn'], stats['stem_bn'] = bn('conv1_bn')
+    for si, blocks in enumerate((3, 4, 6, 3)):
+        sp: Dict = {}
+        ss: Dict = {}
+        for bi in range(blocks):
+            ref = f'conv{si + 2}_block{bi + 1}'
+            flax_name = f'BottleneckBlock_{bi}'
+            p: Dict = {}
+            st: Dict = {}
+            p['Conv_0'] = conv(ref + '_1_conv')
+            p['_BN_0'], st['_BN_0'] = bn(ref + '_1_bn')
+            p['Conv_1'] = conv(ref + '_2_conv')
+            p['_BN_1'], st['_BN_1'] = bn(ref + '_2_bn')
+            p['Conv_2'] = conv(ref + '_3_conv')
+            p['_BN_2'], st['_BN_2'] = bn(ref + '_3_bn')
+            if bi == 0:
+                p['Conv_3'] = conv(ref + '_0_conv')
+                p['_BN_3'], st['_BN_3'] = bn(ref + '_0_bn')
+            sp[flax_name] = p
+            ss[flax_name] = st
+        params[f'stage{si + 2}'] = sp
+        stats[f'stage{si + 2}'] = ss
+    _check_all_consumed(named, 'resnet50')
     return params, stats
 
 
@@ -636,7 +711,6 @@ def convert_efficientnet(weights: Sequence[Weight],
     expand_conv/expand_bn (expand!=1 only), dwconv/bn, se_reduce/se_expand
     (biased), project_conv/project_bn; then top_conv/top_bn.
     """
-    import math as _math
     from ..nn.backbone.efficientnet import (_BASE_BLOCKS, _round_filters,
                                             _round_repeats)
     named: Dict[str, List[Weight]] = {}
@@ -667,6 +741,12 @@ def convert_efficientnet(weights: Sequence[Weight],
         return out
 
     params: Dict = {'stem': conv('stem_conv', False)}
+    got_ch = params['stem']['kernel'].shape[-1]
+    want_ch = _round_filters(32, width)
+    if got_ch != want_ch:
+        raise ImportMismatch(
+            f'efficientnet: stem width {got_ch} != {want_ch} — the h5 is '
+            f'a different width variant than the configured backbone')
     stats: Dict = {}
     params['stem_bn'], stats['stem_bn'] = bn('stem_bn')
     for si, (expand, ch, repeats, stride, kernel) in enumerate(_BASE_BLOCKS):
@@ -696,11 +776,19 @@ def convert_efficientnet(weights: Sequence[Weight],
             stats[flax_name] = s
     params['top_conv'] = conv('top_conv', False)
     params['top_bn'], stats['top_bn'] = bn('top_bn')
+    # tf.keras EfficientNet bakes input normalization into the model as a
+    # 'normalization' layer (mean/variance buffers); the reference's
+    # efficientnet package does not, and this framework applies the same
+    # normalization through the preprocessing combo table
+    # (nn/backbone/preprocess.py, normalize=3) — discard, don't import
+    named.pop('normalization', None)
+    _check_all_consumed(named, 'efficientnet')
     return params, stats
 
 
 _BACKBONE_CONVERTERS = {
     'mobilenet': convert_mobilenet,
+    'resnet50': convert_resnet50,
     'seresnet34': convert_seresnet34,
     'resnet50v2': lambda w: convert_resnet_v2(w, (3, 4, 6, 3)),
     'resnet101v2': lambda w: convert_resnet_v2(w, (3, 4, 23, 3)),
@@ -714,8 +802,8 @@ _BACKBONE_CONVERTERS = {
 }
 
 
-def convert_backbone(weights: Sequence[Weight], backbone_type: str,
-                     has_extras: bool = True) -> Tuple[Dict, Dict]:
+def convert_backbone(weights: Sequence[Weight],
+                     backbone_type: str) -> Tuple[Dict, Dict]:
     """Reference backbone Model weights (body + P6/P7 extras,
     base.py:185-316) -> BackboneNetwork (params, batch_stats)."""
     bt = backbone_type.lower()
@@ -735,6 +823,7 @@ def convert_backbone(weights: Sequence[Weight], backbone_type: str,
     # the flax auto-name of the body module inside BackboneNetwork is
     # its class name + '_0' (BACKBONE_REGISTRY builder return types)
     body_name = {'mobilenet': 'MobileNetV1_0',
+                 'resnet50': 'ResNet_0',
                  'seresnet34': 'CMResNet_0',
                  'resnet50v2': 'ResNetV2_0',
                  'resnet101v2': 'ResNetV2_0',

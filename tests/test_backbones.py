@@ -85,6 +85,34 @@ def test_freeze_mask_depths():
     # plain resnext50 keeps whole-stage granularity (no inner taps)
     assert not module_frozen('resnext50',
                              'stage4/BottleneckBlock_0/Conv_0', 'C3')
+    # seresnet34 C1: the tap is 'relu0' BEFORE stage1 (base.py:127), so
+    # stage1_unit1 stays fully trainable — only the stem freezes
+    # (round-4 review: the C2-C4 in-unit preact rule must not fire at C1)
+    assert module_frozen('seresnet34', 'conv0', 'C1')
+    assert module_frozen('seresnet34', 'bn0', 'C1')
+    assert not module_frozen('seresnet34', 'stage1_unit1/bn1', 'C1')
+    assert not module_frozen('seresnet34', 'stage1_unit1/conv1', 'C1')
+    # ...while at C2 the tap is stage2_unit1's preact relu1, so that
+    # unit's bn1 (built before it) freezes
+    assert module_frozen('seresnet34', 'stage1_unit1/conv1', 'C2')
+    assert module_frozen('seresnet34', 'stage2_unit1/bn1', 'C2')
+    assert not module_frozen('seresnet34', 'stage2_unit1/conv1', 'C2')
+    # efficientnet: C1-C4 taps are the expand activation inside the next
+    # stage's first block — its expand Conv_0/_BN_0 freeze too
+    # (block2a_expand_conv/bn before block2a_expand_activation)
+    assert module_frozen('efficientnetb2', 'stage0_block0/Conv_0', 'C1')
+    assert module_frozen('efficientnetb2', 'stage1_block0/Conv_0', 'C1')
+    assert module_frozen('efficientnetb2', 'stage1_block0/_BN_0', 'C1')
+    assert not module_frozen('efficientnetb2', 'stage1_block0/Conv_1', 'C1')
+    assert not module_frozen('efficientnetb2', 'stage1_block1/Conv_0', 'C1')
+    assert module_frozen('efficientnetb2', 'stage5_block0/Conv_0', 'C4')
+    assert not module_frozen('efficientnetb2', 'stage5_block0/Conv_1', 'C4')
+    assert module_frozen('efficientnetb2', 'stage6_block0/Conv_0', 'C5')
+    assert module_frozen('efficientnetb2', 'top_conv', 'C5')
+    # mobilenetv2 taps are the next stage's first block's INPUT, so
+    # whole-stage granularity is exact there
+    assert module_frozen('mobilenetv2', 'stage0_block0/Conv_0', 'C1')
+    assert not module_frozen('mobilenetv2', 'stage1_block0/Conv_0', 'C1')
 
 
 @pytest.mark.parametrize('name', ['efficientnetb2', 'efficientnetb3',

@@ -288,6 +288,51 @@ def test_mobilenet_backbone(ref):
         assert_close(got[name], want[i], tol=2e-4)
 
 
+def test_resnet50_backbone(ref):
+    """keras.applications ResNet50 v1 (base.py:190-195): biased convs,
+    stride on the first 1x1 ('caffe style'), eps 1.001e-5; the reference
+    taps the stage-output relus (base.py:105-111 'activation_{9,21,39,48}'
+    = conv{2..5} stack outputs) plus the stem relu as C1."""
+    from masklab_tpu.nn.backbone.resnet import resnet50
+    m = tf.keras.applications.ResNet50(
+        input_shape=(96, 96, 3), include_top=False, weights=None)
+    taps = ['conv1_relu', 'conv2_block3_out', 'conv3_block4_out',
+            'conv4_block6_out', 'conv5_block3_out']
+    tap_model = tf.keras.Model(m.input,
+                               [m.get_layer(t).output for t in taps])
+    randomize(m)
+    x = _x(1, 96, 96, 3)
+    want = [t.numpy() for t in tap_model(tf.constant(x))]
+    params, stats = ki.convert_resnet50(ki.weights_of_layer(m))
+    got = resnet50().apply({'params': params, 'batch_stats': stats},
+                           jnp.asarray(x), train=False)
+    for i, name in enumerate(['C1', 'C2', 'C3', 'C4', 'C5']):
+        assert_close(got[name], want[i], tol=2e-4)
+
+
+def test_backbone_converters_cover_reference_zoo():
+    """Registry-keyed maps need a covers-the-registry test (round-3
+    lesson): every backbone the REFERENCE can build (base.py:185-316)
+    must have an h5 weight converter and a body-name mapping."""
+    reference_zoo = ('resnet50', 'resnet50v2', 'resnet101v2', 'resnext50',
+                     'seresnet34', 'seresnet50', 'seresnext50', 'vgg16',
+                     'mobilenet', 'efficientnetb2', 'efficientnetb3',
+                     'efficientnetb4')
+    for name in reference_zoo:
+        assert name in ki._BACKBONE_CONVERTERS, name
+
+
+def test_converter_rejects_oversized_topology(ref):
+    """A structurally larger checkpoint (resnet101v2 into the resnet50v2
+    entry) must fail loudly, not import a silent subset (round-4
+    review)."""
+    m = tf.keras.applications.ResNet101V2(
+        input_shape=(96, 96, 3), include_top=False, weights=None)
+    with pytest.raises(ki.ImportMismatch, match='unconsumed'):
+        ki.convert_resnet_v2(ki.weights_of_layer(m),
+                             stage_blocks=(3, 4, 6, 3))
+
+
 def test_resnet50v2_backbone(ref):
     """keras_applications resnet_v2 topology (models_factory.py:30): stride
     on each stack's last block, maxpool shortcut, mid-stage preact_relu
