@@ -7,17 +7,22 @@ it again to normalize — and on ragged spatial sizes the [N, G, L] band
 reshape is a physical relayout on top (benchmarks/profile_mask_head.py:
 convs alone 98% MXU, the stack 3-7x slower than its conv floor).
 
-This kernel runs one whole layer per VMEM residency: the 3x3 conv as an
-im2col dot (static shifted windows -> [TN, h, w, 9, C] patches
-contracted with the [9, C, C] kernel on the MXU), bias + relu in
-registers, then the exact flat-band GroupNorm via the boundary
-decomposition of groupnorm_kernel.py generalized to 2-D spatial tables.
-One HBM read, one write per layer.
+This kernel runs one whole layer per VMEM residency: the 3x3 conv as
+nine accumulated shifted-window matmuls — each a single-contraction 2-D
+dot [TN*h*w, C_in] x [C_in, C_out] on the MXU (Mosaic rejects the
+one-shot [.., 9, C] x [9, C, C] im2col contraction: "lhs contracting
+dims must be of size 1"; the shifted-window form is also lighter on
+VMEM, no 9x patch tensor) — bias + relu in registers, then the exact
+flat-band GroupNorm of groupnorm_kernel.py on the flattened [TN, Q, C]
+result (the same lane-reduce + [TN, Q] x [Q, G] one-hot-matmul
+decomposition that kernel runs on hardware). One HBM read, one write
+per layer.
 
 Gradients: ``fused_conv_gn`` is a custom_vjp whose backward recomputes
 through the equivalent pure-XLA composition — bit-exact math, standard
 autodiff; the fusion targets the inference hot path (the train step's
-cost is elsewhere, see docs/PERFORMANCE.md round 3).
+cost is elsewhere, see docs/PERFORMANCE.md round 3, and train/steps.py
+wraps its forward in no_fused_conv_gn()).
 """
 from __future__ import annotations
 
@@ -25,81 +30,56 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .groupnorm_kernel import band_geometry
-
-
-def _geometry_2d(h: int, w: int, c: int, groups: int):
-    """Band geometry tables shaped for [h, w, C] maps (no flat reshape)."""
-    lowmask, a0, a1, g0, g1 = band_geometry(h * w, c, groups)
-    return (lowmask.reshape(h, w, c), a0.reshape(h, w, groups),
-            a1.reshape(h, w, groups), g0, g1)
-
-
-def _affine_2d(scale, bias, h, w, c, groups, g0, g1, lowmask_2d):
-    cg = c // groups
-    tab_s = scale.reshape(groups, cg)
-    tab_b = bias.reshape(groups, cg)
-    phase = np.tile(np.arange(cg), c // cg)
-    low = jnp.asarray(lowmask_2d, bool)
-    s_e = jnp.where(low, tab_s[g0][:, phase].reshape(h, w, c),
-                    tab_s[g1][:, phase].reshape(h, w, c))
-    b_e = jnp.where(low, tab_b[g0][:, phase].reshape(h, w, c),
-                    tab_b[g1][:, phase].reshape(h, w, c))
-    return s_e, b_e
+from .groupnorm_kernel import affine_tables, band_geometry
 
 
 def _kernel(x_ref, w_ref, cb_ref, low_ref, a0_ref, a1_ref, s_ref, b_ref,
             out_ref, *, h: int, w: int, length: int, eps: float,
             out_dtype):
-    x = x_ref[...]                                    # [TN, h, w, C]
+    x = x_ref[...]                                    # [TN, h, w, C_in]
+    tn, _, _, c_in = x.shape
+    w9 = w_ref[...]                                   # [9, C_in, C]
+    c = w9.shape[-1]
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    windows = [xp[:, dy:dy + h, dx:dx + w, :]
-               for dy in range(3) for dx in range(3)]
-    patches = jnp.concatenate([v[..., None, :] for v in windows],
-                              axis=3)                 # [TN, h, w, 9, C]
-    y = jax.lax.dot_general(
-        patches, w_ref[...],
-        (((3, 4), (0, 1)), ((), ())),
-        preferred_element_type=jnp.float32)           # [TN, h, w, C] f32
-    y = jnp.maximum(y + cb_ref[...][None, None, None, :], 0.0)
+    dn2 = (((1,), (0,)), ((), ()))                    # plain 2-D matmul
+    acc = jnp.zeros((tn * h * w, c), jnp.float32)
+    for k in range(9):
+        dy, dx = divmod(k, 3)
+        win = xp[:, dy:dy + h, dx:dx + w, :].reshape(tn * h * w, c_in)
+        acc = acc + jax.lax.dot_general(
+            win, w9[k], dn2, preferred_element_type=jnp.float32)
+    f = jnp.maximum(acc + cb_ref[...][None, :], 0.0)
+    f = f.reshape(tn, h * w, c)                       # [TN, Q, C] f32
 
-    low = low_ref[...]                                # [h, w, C]
-    a0 = a0_ref[...]                                  # [h, w, G]
+    # flat-band GroupNorm — the proven _gn_kernel decomposition verbatim
+    low = low_ref[...]                                # [Q, C]
+    a0 = a0_ref[...]                                  # [Q, G]
     a1 = a1_ref[...]
-    y2 = y * y
-    dn = (((1, 2), (0, 1)), ((), ()))                 # contract (h, w)
+    f2 = f * f
+    u = jnp.sum(f * low[None], axis=2)                # [TN, Q] low part
+    p = jnp.sum(f, axis=2)
+    u2 = jnp.sum(f2 * low[None], axis=2)
+    p2 = jnp.sum(f2, axis=2)
 
-    def mm(t, a):
-        return jax.lax.dot_general(t, a, dn,
+    def mm(a, b):
+        return jax.lax.dot_general(a, b, dn2,
                                    preferred_element_type=jnp.float32)
 
-    u = jnp.sum(y * low[None], axis=3)                # [TN, h, w]
-    p = jnp.sum(y, axis=3)
-    u2 = jnp.sum(y2 * low[None], axis=3)
-    p2 = jnp.sum(y2, axis=3)
     bs = mm(u, a0) + mm(p - u, a1)                    # [TN, G]
     bs2 = mm(u2, a0) + mm(p2 - u2, a1)
     m1 = bs / length
     m2 = bs2 / length
     inv = jax.lax.rsqrt(jnp.maximum(m2 - m1 * m1, 0.0) + eps)
-
-    def back(vals, a):
-        # [TN, G] x [h, w, G] -> [TN, h, w]
-        return jax.lax.dot_general(
-            vals, a, (((1,), (2,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    m_lo, m_hi = back(m1, a0), back(m1, a1)
-    i_lo, i_hi = back(inv, a0), back(inv, a1)
+    m_lo, m_hi = mm(m1, a0.T), mm(m1, a1.T)           # [TN, Q]
+    i_lo, i_hi = mm(inv, a0.T), mm(inv, a1.T)
     lowb = low[None] > 0.0
-    m_e = jnp.where(lowb, m_lo[..., None], m_hi[..., None])
-    i_e = jnp.where(lowb, i_lo[..., None], i_hi[..., None])
-    out = (y - m_e) * i_e * s_ref[...][None] + b_ref[...][None]
-    out_ref[...] = out.astype(out_dtype)
+    m_e = jnp.where(lowb, m_lo[:, :, None], m_hi[:, :, None])
+    i_e = jnp.where(lowb, i_lo[:, :, None], i_hi[:, :, None])
+    out = (f - m_e) * i_e * s_ref[...][None] + b_ref[...][None]
+    out_ref[...] = out.astype(out_dtype)              # [TN, Q, C]
 
 
 @functools.partial(jax.jit,
@@ -111,15 +91,16 @@ def conv_gn_pallas(x: jnp.ndarray, kernel: jnp.ndarray, conv_bias,
     """bandGN(relu(conv3x3_SAME(x) + conv_bias)) over [N, h, w, C_in].
 
     kernel [3, 3, C_in, C_out]; requires groups <= h*w and
-    C_out % groups == 0. Spatial must be small enough that the
-    [TN, h, w, 9, C] patch tensor fits VMEM (RoI-crop sizes).
+    C_out % groups == 0. Spatial must be small enough that the block's
+    input window + f32 accumulator fit VMEM (RoI-crop sizes).
     """
     n, h, w, c_in = x.shape
     c = kernel.shape[-1]
-    lowmask, a0, a1, g0, g1 = _geometry_2d(h, w, c, groups)
-    s_e, b_e = _affine_2d(scale.astype(jnp.float32),
-                          bias.astype(jnp.float32), h, w, c, groups, g0,
-                          g1, lowmask)
+    q = h * w
+    lowmask, a0, a1, g0, g1 = band_geometry(q, c, groups)
+    s_e, b_e = affine_tables(scale.astype(jnp.float32),
+                             bias.astype(jnp.float32), q, groups, g0, g1,
+                             lowmask)
     w9 = kernel.reshape(9, c_in, c).astype(x.dtype)
     cb = (jnp.zeros((c,), jnp.float32) if conv_bias is None
           else conv_bias.astype(jnp.float32))
@@ -127,28 +108,30 @@ def conv_gn_pallas(x: jnp.ndarray, kernel: jnp.ndarray, conv_bias,
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0), (0, 0))) if pad else x
     grid = (xp.shape[0] // block_n,)
     c3 = lambda i: (0, 0, 0)   # noqa: E731
+    c2 = lambda i: (0, 0)      # noqa: E731
     c1 = lambda i: (0,)        # noqa: E731
     out = pl.pallas_call(
-        functools.partial(_kernel, h=h, w=w, length=h * w * c // groups,
+        functools.partial(_kernel, h=h, w=w, length=q * c // groups,
                           eps=eps, out_dtype=x.dtype),
-        out_shape=jax.ShapeDtypeStruct((xp.shape[0], h, w, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((xp.shape[0], q, c), x.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_n, h, w, c_in), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, c_in, c), c3, memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), c1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, w, c), c3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, w, groups), c3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, w, groups), c3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, w, c), c3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, w, c), c3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, c), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, groups), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, groups), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, c), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, c), c2, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_n, h, w, c), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((block_n, q, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(xp, w9, cb, jnp.asarray(lowmask), jnp.asarray(a0), jnp.asarray(a1),
       s_e, b_e)
+    out = out.reshape(xp.shape[0], h, w, c)
     return out[:n] if pad else out
 
 
