@@ -357,7 +357,7 @@ def _is_default_capture() -> bool:
         'BENCH_CANDIDATES', 'BENCH_BATCH', 'BENCH_SIZE', 'BENCH_ITERS',
         'BENCH_CKPT', 'BENCH_SKIP_EXTRAS',
         # kernel-path gates change WHAT is measured, not just how much
-        'MASKLAB_FUSED_CONV_GN', 'MASKLAB_NO_PALLAS_GN'))
+        'MASKLAB_NO_PALLAS_GN', 'MASKLAB_GN_KERNEL_MIN_C'))
 
 
 def _save_last_good(result: dict):

@@ -219,24 +219,11 @@ def main():
                                       block_n=BN).reshape(h.shape)
         return h
 
-    from masklab_tpu.ops.pallas.conv_gn_kernel import conv_gn_pallas
-    cbias = [jnp.asarray(rng.rand(C) * 0.1, jnp.float32)
-             for _ in range(DEPTH)]
-
-    def stack_fused(h):
-        # whole layer (conv+bias+relu+bandGN) as ONE kernel per depth
-        for i in range(DEPTH):
-            h = conv_gn_pallas(h, kernels[i].astype(jnp.float32),
-                               cbias[i], scales[i], biases[i], G,
-                               block_n=BN)
-        return h
-
     variants = {
         'stack': stack, 'stack_se': stack_se, 'conv_only': conv_only,
         'gn_only': gn_only, 'gemm_conv': gemm_conv, 'mosaic': mosaic,
         'stack_bdgn': stack_bdgn, 'stack_pgn': stack_pgn,
         'stack_pgn_relu': stack_pgn_relu, 'pgn_only': pgn_only,
-        'stack_fused': stack_fused,
     }
     only = os.environ.get('VARIANTS')
     if only:

@@ -79,6 +79,11 @@ def main():
                      'xlamodule', '$', 'tsl::', 'stream::'):
             if skip in n:
                 return None
+        # the jit_<fn> module span and the bare step-number markers
+        # ENCLOSE every op event — summing them would ~double the
+        # denominator (seen as a phantom 103 ms/step, session 3)
+        if n.startswith('jit_') or n.strip().isdigit():
+            return None
         for key, fam in (('conv', 'conv/dot'), ('dot', 'conv/dot'),
                          ('custom-call', 'custom-call (pallas)'),
                          ('all-reduce', 'collective'),
@@ -100,6 +105,10 @@ def main():
     # denominator = the rolled-up op time itself (device pids, wrappers
     # skipped) so ms/step and the percentages are self-consistent
     total_us = sum(fams.values())
+    mod_us = sum(v for k, v in tot.items() if k.lower().startswith('jit_'))
+    if mod_us:
+        print(f'\nmodule span (true step time incl. gaps): '
+              f'{mod_us/5000:.2f} ms/step')
     print(f'\n--- rollup over {total_us/1000:.2f} ms device time '
           f'(5 steps -> {total_us/5000:.2f} ms/step) ---')
     for fam, v in fams.most_common():

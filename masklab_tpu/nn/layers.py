@@ -13,8 +13,6 @@ float32 parameters; normalization statistics are always float32.
 """
 from __future__ import annotations
 
-import contextlib
-import threading
 from typing import Any, Tuple
 
 import jax
@@ -22,31 +20,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
-
-_FUSED_GATE = threading.local()
-
-
-@contextlib.contextmanager
-def no_fused_conv_gn():
-    """Trace-time scope: route HeadBlock through the plain XLA
-    conv+GN composition even when the fused Pallas kernel is enabled.
-
-    The fused kernel's custom_vjp backward RECOMPUTES the layer through
-    XLA (conv_gn_kernel.py _bwd), so under differentiation it pays the
-    stock forward+backward PLUS a recompute — a strict regression for
-    the train step, whose mask-branch conds are already its biggest cost
-    (round-3 trace: 11.2 of 29 ms/step). train/steps.py wraps the loss
-    forward in this scope so the fused path stays an inference-only
-    optimization; same trace-time-context pattern as
-    ops/nms.py shard_local_nms.
-    """
-    prev = getattr(_FUSED_GATE, 'disabled', False)
-    _FUSED_GATE.disabled = True
-    try:
-        yield
-    finally:
-        _FUSED_GATE.disabled = prev
-
 
 def normal_init(stddev: float = 0.01):
     return nn.initializers.normal(stddev=stddev)
@@ -228,73 +201,18 @@ class AtrousSeparableConv(nn.Module):
         return nn.relu(x)
 
 
-class _ConvParams(nn.Module):
-    """Parameter-only stand-in for an ``nn.Conv(3x3)``: same param names,
-    shapes, and init, so fused-kernel and module paths share checkpoints."""
-    features: int
-
-    @nn.compact
-    def __call__(self, x):
-        kernel = self.param('kernel', normal_init(0.01),
-                            (3, 3, x.shape[-1], self.features), jnp.float32)
-        bias = self.param('bias', nn.initializers.zeros,
-                          (self.features,), jnp.float32)
-        return kernel, bias
-
-
-class _GNParams(nn.Module):
-    """Parameter-only stand-in for :class:`GroupNorm` (scale/bias)."""
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        scale = self.param('scale', nn.initializers.ones,
-                           (self.features,), jnp.float32)
-        bias = self.param('bias', nn.initializers.zeros,
-                          (self.features,), jnp.float32)
-        return scale, bias
-
-
-def _use_fused_conv_gn(x, groups: int, separable: bool) -> bool:
-    """Route a head layer through the fused Pallas conv3x3+relu+bandGN.
-
-    Only on TPU, plain-conv heads, RoI-crop-sized spatial maps (the
-    [TN, h, w, 9, C] patch tensor must fit VMEM), ragged band geometry
-    (aligned maps already take the fast strip-view GroupNorm), and the
-    two-bands-per-pixel condition of the boundary decomposition.
-    """
-    import os
-    if os.environ.get('MASKLAB_NO_PALLAS_GN') or separable:
-        return False
-    # inference-only: under differentiation the custom_vjp recompute
-    # makes fused strictly slower than the stock composition (see
-    # no_fused_conv_gn)
-    if getattr(_FUSED_GATE, 'disabled', False):
-        return False
-    # opt-in until hardware-validated (the plain band-GN kernel taught
-    # us microbench wins can lose to XLA fusion at model level)
-    if os.environ.get('MASKLAB_FUSED_CONV_GN', '0') != '1':
-        return False
-    if jax.devices()[0].platform != 'tpu':
-        return False
-    if x.ndim != 4:
-        return False
-    spatial = x.shape[1] * x.shape[2]
-    return (spatial <= 400 and spatial % groups != 0
-            and groups <= spatial)
-
-
 class HeadBlock(nn.Module):
     """One depth-stack of a subnet head: ``num_depth`` x
     [SqueezeExcite? -> Conv3x3-ReLU | MobileSeparableConv -> GroupNorm].
 
     Shared structure of ClassificationSubNet / BoxRegressionSubNet /
     MaskSubNet / SegmentationSubNet bodies (detection.py:109-130 etc.).
-    On TPU, plain-conv layers over RoI-crop-sized ragged maps (the mask
-    head) run as ONE fused Pallas kernel per layer
-    (ops/pallas/conv_gn_kernel.py) — conv, bias, relu, and the flat-band
-    GroupNorm in a single VMEM residency. Parameter names/shapes are
-    identical either way (_ConvParams/_GNParams mirror nn.Conv/GroupNorm).
+    The ragged-map GroupNorm inside routes to the flat-band Pallas
+    kernel when profitable (see GroupNorm). A whole-layer fused
+    conv3x3+relu+bandGN Pallas kernel was A/B'd on hardware in round 4
+    and LOST decisively (dense 669 -> 349 img/s — XLA's conv + the
+    band-GN kernel beat the hand-fused residency), so the stock
+    composition below is the final form (docs/PERFORMANCE.md round 4).
     """
     num_depth: int = 4
     num_features: int = 256
@@ -307,8 +225,6 @@ class HeadBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        fused = _use_fused_conv_gn(x, min(self.groups, self.num_features),
-                                   self.use_separable_conv)
         for i in range(self.num_depth):
             if self.use_squeeze_excite:
                 x = SqueezeExcite(self.squeeze_ratio, self.dtype)(x)
@@ -318,17 +234,6 @@ class HeadBlock(nn.Module):
                                         groups=self.groups,
                                         dtype=self.dtype)(x)
                 x = GroupNorm(self.groups, self.dtype)(x)
-            elif fused:
-                from ..ops.pallas.conv_gn_kernel import fused_conv_gn
-                kernel, cbias = _ConvParams(self.num_features,
-                                            name=f'Conv_{i}')(x)
-                scale, gbias = _GNParams(self.num_features,
-                                         name=f'GroupNorm_{i}')()
-                x = fused_conv_gn(x.astype(self.dtype),
-                                  kernel.astype(self.dtype), cbias,
-                                  scale, gbias,
-                                  min(self.groups, self.num_features))
-                x = x.astype(self.dtype)
             else:
                 x = nn.Conv(self.num_features, (3, 3), padding='SAME',
                             kernel_init=normal_init(0.01),

@@ -38,26 +38,20 @@ def compute_losses(model: MaskLab, variables: Dict, batch: Dict,
     num_det = len(cfg.dataset.instance_labels)
     lc = cfg.loss
 
-    # the fused conv+GN Pallas path is an inference-only optimization:
-    # its custom_vjp backward recomputes through XLA, a strict regression
-    # under jax.grad (nn/layers.py no_fused_conv_gn)
-    from ..nn.layers import no_fused_conv_gn
     if train:
         # 'dropout' feeds stochastic regularizers (efficientnet
         # drop-connect); backbones without any are unaffected
         rngs = ({'dropout': dropout_rng} if dropout_rng is not None
                 else None)
-        with no_fused_conv_gn():
-            out, mutated = model.apply(
-                variables, batch['images'], batch['gt_boxes'], train=True,
-                method='trainer_outputs', mutable=['batch_stats'],
-                rngs=rngs)
+        out, mutated = model.apply(
+            variables, batch['images'], batch['gt_boxes'], train=True,
+            method='trainer_outputs', mutable=['batch_stats'],
+            rngs=rngs)
         new_batch_stats = mutated['batch_stats']
     else:
-        with no_fused_conv_gn():
-            out = model.apply(variables, batch['images'],
-                              batch['gt_boxes'], train=False,
-                              method='trainer_outputs')
+        out = model.apply(variables, batch['images'],
+                          batch['gt_boxes'], train=False,
+                          method='trainer_outputs')
         new_batch_stats = variables.get('batch_stats', {})
 
     cls_true, loc_true, assign_mask = jax.vmap(

@@ -136,113 +136,3 @@ class TestBandGroupNorm:
         for a, b in zip(g_ref, g_new):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-5)
-
-
-class TestFusedConvGN:
-    """Fused conv3x3+relu+bandGN kernel (ops/pallas/conv_gn_kernel.py)."""
-
-    def test_forward_matches_composition(self):
-        from masklab_tpu.ops.pallas.conv_gn_kernel import (
-            _xla_reference, conv_gn_pallas)
-        rng = np.random.RandomState(0)
-        x = jnp.asarray(rng.randn(5, 14, 14, 64).astype(np.float32))
-        k = jnp.asarray(rng.randn(3, 3, 64, 64).astype(np.float32) * 0.05)
-        cb = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
-        sc = jnp.asarray(rng.rand(64).astype(np.float32))
-        bi = jnp.asarray(rng.rand(64).astype(np.float32))
-        want = _xla_reference(x, k, cb, sc, bi, 16, 1e-5)
-        got = conv_gn_pallas(x, k, cb, sc, bi, 16, interpret=True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=2e-5)
-
-    def test_gradients_match_composition(self):
-        from masklab_tpu.ops.pallas.conv_gn_kernel import (
-            _xla_reference, fused_conv_gn)
-        rng = np.random.RandomState(1)
-        x = jnp.asarray(rng.randn(3, 14, 14, 32).astype(np.float32))
-        k = jnp.asarray(rng.randn(3, 3, 32, 32).astype(np.float32) * 0.05)
-        cb = jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
-        sc = jnp.asarray(rng.rand(32).astype(np.float32))
-        bi = jnp.asarray(rng.rand(32).astype(np.float32))
-        wv = jnp.asarray(rng.randn(3, 14, 14, 32).astype(np.float32))
-        g_ref = jax.grad(
-            lambda *a: jnp.sum(_xla_reference(*a, 16, 1e-5) * wv),
-            argnums=(0, 1, 2, 3, 4))(x, k, cb, sc, bi)
-        g_new = jax.grad(
-            lambda *a: jnp.sum(fused_conv_gn(*a, 16, 1e-5) * wv),
-            argnums=(0, 1, 2, 3, 4))(x, k, cb, sc, bi)
-        for a, b in zip(g_ref, g_new):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       atol=5e-5)
-
-    def test_none_bias_differentiates(self):
-        """conv_bias=None must work under grad: it is normalized to zeros
-        BEFORE the custom_vjp boundary (ADVICE r3 — a None saved in
-        residuals crashed the backward's XLA recomputation)."""
-        from masklab_tpu.ops.pallas.conv_gn_kernel import fused_conv_gn
-        rng = np.random.RandomState(4)
-        x = jnp.asarray(rng.randn(2, 14, 14, 32).astype(np.float32))
-        k = jnp.asarray(rng.randn(3, 3, 32, 32).astype(np.float32) * 0.05)
-        sc = jnp.asarray(rng.rand(32).astype(np.float32))
-        bi = jnp.asarray(rng.rand(32).astype(np.float32))
-        zeros = jnp.zeros((32,), jnp.float32)
-
-        def loss(x, k, sc, bi, cb):
-            return jnp.sum(fused_conv_gn(x, k, cb, sc, bi, 16, 1e-5))
-
-        g_none = jax.grad(loss, argnums=(0, 1, 2, 3))(x, k, sc, bi, None)
-        g_zero = jax.grad(loss, argnums=(0, 1, 2, 3))(x, k, sc, bi, zeros)
-        for a, b in zip(g_none, g_zero):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       atol=1e-6)
-
-    def test_headblock_fused_path_matches_module_path(self, monkeypatch):
-        """Force the fused route on CPU (interpret mode) and check it
-        produces the module path's output from the SAME parameter tree —
-        proving checkpoint compatibility and math equivalence."""
-        from masklab_tpu.nn import layers as L
-        rng = np.random.RandomState(2)
-        x = jnp.asarray(rng.randn(4, 14, 14, 32).astype(np.float32))
-        block = L.HeadBlock(num_depth=2, num_features=32, groups=16,
-                            dtype=jnp.float32)
-        params = block.init(jax.random.PRNGKey(0), x)
-        want = block.apply(params, x)
-        monkeypatch.setattr(L, '_use_fused_conv_gn',
-                            lambda *a, **k: True)
-        monkeypatch.setattr(
-            'masklab_tpu.ops.pallas.conv_gn_kernel.fused_conv_gn',
-            lambda x, k, cb, s, b, g: __import__(
-                'masklab_tpu.ops.pallas.conv_gn_kernel',
-                fromlist=['conv_gn_pallas']).conv_gn_pallas(
-                    x, k, cb, s, b, g, interpret=True))
-        got = block.apply(params, x)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=2e-5)
-        # same param tree must also INIT identically through the fused path
-        params2 = block.init(jax.random.PRNGKey(0), x)
-        jax.tree_util.tree_map(
-            lambda a, b: np.testing.assert_array_equal(
-                np.asarray(a), np.asarray(b)), params, params2)
-
-    def test_no_fused_conv_gn_scope_disables_route(self, monkeypatch):
-        """The train step wraps its forward in no_fused_conv_gn(): the
-        fused route must be OFF inside the scope even with every other
-        condition satisfied (the custom_vjp backward recomputes through
-        XLA — a strict train-step regression if routed under grad)."""
-        import jax as _jax
-        from masklab_tpu.nn import layers as L
-
-        class _Dev:
-            platform = 'tpu'
-
-        monkeypatch.setenv('MASKLAB_FUSED_CONV_GN', '1')
-        monkeypatch.delenv('MASKLAB_NO_PALLAS_GN', raising=False)
-        monkeypatch.setattr(_jax, 'devices', lambda: [_Dev()])
-        x = jnp.zeros((2, 14, 14, 32))
-        assert L._use_fused_conv_gn(x, 16, separable=False)
-        with L.no_fused_conv_gn():
-            assert not L._use_fused_conv_gn(x, 16, separable=False)
-            with L.no_fused_conv_gn():            # re-entrant
-                assert not L._use_fused_conv_gn(x, 16, separable=False)
-            assert not L._use_fused_conv_gn(x, 16, separable=False)
-        assert L._use_fused_conv_gn(x, 16, separable=False)
