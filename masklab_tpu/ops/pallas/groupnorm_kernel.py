@@ -187,6 +187,13 @@ def band_groupnorm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     Forward runs the VMEM-resident Pallas kernel (XLA interpret fallback
     off-TPU); backward is exact flat-band GN gradient computed with the
     same relayout-free boundary decomposition.
+
+    A pure-XLA forward variant (same decomposition, elementwise-only on
+    the big tensor so XLA fuses it into the producer conv's layout) was
+    A/B'd on hardware in round 4 and LOST decisively: dense b16 670.9
+    vs 745.8 img/s for this kernel — the one-VMEM-residency stats +
+    normalize beats avoiding the custom-call boundary copies at
+    mask-head shapes. Deleted after the A/B; see docs/PERFORMANCE.md.
     """
     interpret = jax.devices()[0].platform != 'tpu'
     return band_groupnorm_pallas(x, scale, bias, groups, eps,
