@@ -275,9 +275,21 @@ class MaskSubNet(nn.Module):
                     return routed.astype(jnp.float32)
                 return branch
 
-            total = total + nn.switch(
-                bucket, [make_branch(c) for c in caps],
-                self, fmap, norm, order, counts)
+            # remat each branch: the VJP of a multi-branch switch unifies
+            # the residual pytree ACROSS branches, so without remat the
+            # executed branch must materialize zero-filled residuals for
+            # every other rung (sum over all capacities of ~20 conv/GN
+            # saved tensors — measured 16.3 ms/step of pure broadcasts in
+            # the b4@256 train step, ~49% of the step). Under remat the
+            # residuals collapse to the branch INPUTS, which are identical
+            # for all rungs; the backward switch recomputes the one small
+            # executed branch instead. prevent_cse=False is safe: the
+            # recompute lives inside the backward cond's own computation,
+            # where XLA cannot CSE it against the forward.
+            branches = [nn.remat(make_branch(c), prevent_cse=False)
+                        for c in caps]
+            total = total + nn.switch(bucket, branches,
+                                      self, fmap, norm, order, counts)
         return total
 
 
