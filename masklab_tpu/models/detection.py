@@ -156,7 +156,15 @@ def assign_boxes(gt_boxes: jnp.ndarray, priors: jnp.ndarray,
                           best_gt_per_anchor.astype(jnp.int32))
     assigned = anchor_matched | (forced_gt >= 0)
 
-    labels = gt[chosen_gt, 4].astype(jnp.int32)
+    # One-hot row-select instead of gather: `gt[chosen_gt]` ([G,6] table
+    # gathered by N anchor indices) lowers to one serial scalar gather per
+    # column on TPU (~0.93 ms each at N=20460 — fusion.58-62 in the train
+    # trace, 26% of the step). The [N,G]x[G,6] matmul is bit-exact for
+    # finite rows (exactly one weight is 1.0, the rest contribute 0*x=0)
+    # and rides the MXU in ~tens of microseconds.
+    select = jax.nn.one_hot(chosen_gt, g, dtype=jnp.float32)   # [N, G]
+    chosen_rows = select @ gt                                  # [N, 6]
+    labels = chosen_rows[:, 4].astype(jnp.int32)
     cls_idx = jnp.where(assigned, labels, num_classes)
     cls_full = jax.nn.one_hot(cls_idx, num_classes + 1)
     cls_true = cls_full[:, :num_classes]
@@ -166,7 +174,7 @@ def assign_boxes(gt_boxes: jnp.ndarray, priors: jnp.ndarray,
     in_band = jnp.any((iou < 0.5) & (iou >= 0.4), axis=0)
     assign_mask = jnp.where(in_band, -1.0, assign_mask)
 
-    loc_true = encode_boxes(gt[chosen_gt, :4], priors)
+    loc_true = encode_boxes(chosen_rows[:, :4], priors)
     loc_true = jnp.where(assigned[:, None], loc_true, 0.0)
     loc_true = jnp.nan_to_num(loc_true, nan=0.0, posinf=0.0, neginf=0.0)
     return cls_true, loc_true, assign_mask[:, None]
