@@ -138,15 +138,27 @@ def _force_dense(variables):
     return {**variables, 'params': params}
 
 
-def _timeit(fn, variables, images, iters):
+def _timeit(fn, variables, images, iters, trials=3):
+    """Best-of-`trials` timed loops of `iters` calls each.
+
+    The device rides a tunnel with transient multi-second stalls (a
+    background probe, a queued remote compile, plain tunnel jitter) that
+    can poison any single mean — round 4 recorded a 105.9 ms capture for
+    a program that times at 20.4 ms standalone. A stall only ever ADDS
+    time, so the minimum across trials is the defensible estimate of the
+    program's actual speed.
+    """
     import jax
     out = fn(variables, images)           # warmup / compile
     jax.block_until_ready(out)
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = fn(variables, images)
-    jax.block_until_ready(out)
-    return time.perf_counter() - start
+    best = float('inf')
+    for _ in range(trials):
+        start = time.perf_counter()
+        for _ in range(iters):
+            out = fn(variables, images)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - start)
+    return best
 
 
 def _xla_flops(compiled) -> float:
@@ -212,11 +224,18 @@ def _bench_train_step(iters=10):
     step = make_train_step(model, with_metrics=False)
     state, _ = step(state, batch)          # warmup / compile
     jax.block_until_ready(state.params)
-    start = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, batch)
-    jax.block_until_ready(m['loss'])
-    step_ms = (time.perf_counter() - start) / iters * 1000.0
+    # best-of-trials for the same reason as _timeit: one transient tunnel
+    # stall inside a single mean mis-recorded a 20.4 ms step as 105.9 ms.
+    # The step is short (~20 ms x 10 iters per trial) so stalls poison a
+    # larger fraction of trials than the inference loops — use more.
+    best = float('inf')
+    for _ in range(10):
+        start = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, batch)
+        jax.block_until_ready(m['loss'])
+        best = min(best, time.perf_counter() - start)
+    step_ms = best / iters * 1000.0
 
     mfu_pct = None
     flops = None
