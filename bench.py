@@ -277,7 +277,10 @@ def main():
 
     # batch 16: best measured throughput (585 dense / 1119 sparse vs
     # 548/900 at batch 8) with p50 batch latency ~27 ms — still inside
-    # the 33 ms real-time budget per frame
+    # the 33 ms real-time budget per frame. Re-checked at the round-4
+    # model (741 dense @ b16): batch 32 LOSES on dense (714.9, the mask
+    # capacity ladder pads worse at 2x crops) and only helps sparse
+    # (1614.8 vs 1405.8), so b16 stays.
     batch = int(os.environ.get('BENCH_BATCH', '16'))
     size = int(os.environ.get('BENCH_SIZE', '512'))
     iters = int(os.environ.get('BENCH_ITERS', '20'))
