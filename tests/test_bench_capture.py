@@ -157,6 +157,123 @@ def test_last_good_skips_env_overridden_runs(monkeypatch, tmp_path):
     assert bench._load_last_good()['value'] == 42.0
 
 
+def _spawn_hanging_bench(tmp_path, extra_env):
+    """Start `python bench.py` parked at the selftest-hang hook; wait until
+    the hook's stderr marker proves the signal handlers are installed."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    env = dict(os.environ)
+    env['BENCH_SELFTEST_HANG'] = '1'
+    env.update(extra_env)
+    out_path = tmp_path / 'bench_stdout.txt'
+    err_path = tmp_path / 'bench_stderr.txt'
+    proc = subprocess.Popen(
+        [sys.executable, 'bench.py'],
+        cwd=os.path.dirname(os.path.abspath(bench.__file__)),
+        stdout=open(out_path, 'w'), stderr=open(err_path, 'w'), env=env)
+    deadline = time.monotonic() + 30
+    while time.monotonic() < deadline:
+        if 'selftest hang' in err_path.read_text():
+            return proc, out_path
+        if proc.poll() is not None:
+            raise AssertionError(
+                f'bench exited early rc={proc.returncode}: '
+                f'{err_path.read_text()[-500:]}')
+        time.sleep(0.1)
+    proc.kill()
+    raise AssertionError('bench never reached the selftest hang hook')
+
+
+def _wait_and_parse_last_line(proc, out_path, timeout=30):
+    import time
+    deadline = time.monotonic() + timeout
+    while proc.poll() is None and time.monotonic() < deadline:
+        time.sleep(0.1)
+    assert proc.poll() is not None, 'bench did not exit after the signal'
+    lines = out_path.read_text().strip().splitlines()
+    assert lines, 'no stdout at all — the round-4 empty-tail failure'
+    return json.loads(lines[-1])
+
+
+def test_external_sigterm_emits_parseable_line(tmp_path):
+    """Round-4 kill shape: the driver's external `timeout` SIGTERMs a
+    running bench. The LAST stdout line must still parse."""
+    import signal
+    proc, out_path = _spawn_hanging_bench(tmp_path, {})
+    proc.send_signal(signal.SIGTERM)
+    parsed = _wait_and_parse_last_line(proc, out_path)
+    assert parsed['value'] is None
+    assert 'SIGTERM' in parsed['error']
+    assert parsed['metric'].startswith('masklab_joint_inference')
+
+
+def test_internal_watchdog_fires_before_driver_window(tmp_path):
+    """The SIGALRM watchdog must self-terminate a stuck bench with a
+    parseable line even when nothing external kills it."""
+    proc, out_path = _spawn_hanging_bench(
+        tmp_path, {'BENCH_TOTAL_BUDGET_S': '1'})
+    parsed = _wait_and_parse_last_line(proc, out_path)
+    assert parsed['value'] is None
+    assert 'SIGALRM' in parsed['error']
+
+
+def test_emergency_exit_reemits_headline(monkeypatch, capsys):
+    """A kill AFTER the headline was measured must re-emit the real
+    number (extras-incomplete noted), not an error line."""
+    calls = {}
+
+    def fake_exit(code):
+        calls['code'] = code
+        raise SystemExit(code)
+
+    monkeypatch.setattr(bench.os, '_exit', fake_exit)
+    headline = {'metric': 'masklab_joint_inference_images_per_sec_512px',
+                'value': 741.1, 'unit': 'images/sec/chip',
+                'vs_baseline': 24.7, 'extra': {'regime': 'forced_dense'}}
+    monkeypatch.setattr(bench, '_EMITTED', headline)
+    with pytest.raises(SystemExit):
+        bench._emergency_exit('SIGTERM')
+    parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert parsed['value'] == 741.1
+    assert 'SIGTERM' in parsed['note']
+    assert calls['code'] == 1
+
+
+def test_emergency_exit_before_headline_carries_last_good(
+        monkeypatch, capsys, tmp_path):
+    path = tmp_path / 'last_good_bench.json'
+    monkeypatch.setattr(bench, '_LAST_GOOD_PATH', str(path))
+    bench._save_last_good({'value': 601.2, 'extra': {}})
+    monkeypatch.setattr(bench.os, '_exit',
+                        lambda code: (_ for _ in ()).throw(SystemExit(code)))
+    monkeypatch.setattr(bench, '_EMITTED', None)
+    with pytest.raises(SystemExit):
+        bench._emergency_exit('SIGALRM')
+    parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert parsed['value'] is None
+    assert 'SIGALRM' in parsed['error']
+    assert parsed['last_good']['value'] == 601.2
+
+
+def test_acquire_budget_default_under_driver_window():
+    """VERDICT r4 #1c: the default acquire budget must stay small enough
+    that probe-retry loops cannot out-wait the driver's capture window."""
+    import inspect
+    sig = inspect.signature(bench._acquire_devices)
+    assert sig.parameters['budget_s'].default <= 300
+
+
+def test_last_good_file_ends_with_newline(monkeypatch, tmp_path):
+    """ADVICE r4: keep committed last_good diffs clean."""
+    path = tmp_path / 'last_good_bench.json'
+    monkeypatch.setattr(bench, '_LAST_GOOD_PATH', str(path))
+    bench._save_last_good({'value': 1.0})
+    assert path.read_text().endswith('\n')
+
+
 def test_load_last_good_rejects_corrupt_file(monkeypatch, tmp_path):
     path = tmp_path / 'last_good_bench.json'
     monkeypatch.setattr(bench, '_LAST_GOOD_PATH', str(path))
