@@ -90,7 +90,13 @@ def cmd_eval(args, save_dir: str = None) -> None:
     model = build_masklab(cfg)
     variables = ckpt.restore_variables()
     predictor = MaskLabPredictor(model, variables, cfg)
-    validset = MaskLabDataset(cfg.dataset.valid_cases or None,
+    valid_cases = cfg.dataset.valid_cases
+    if not valid_cases and not cfg.dataset.train_cases:
+        # mirror the reference driver: evaluate the ETL's held-out split
+        # when one exists (road_project/train.py:26-27), not the train set
+        from .data.process import load_split_cases
+        _, valid_cases = load_split_cases(cfg.dataset.data_dir)
+    validset = MaskLabDataset(valid_cases or None,
                               min_area=cfg.dataset.min_area,
                               data_dir=cfg.dataset.data_dir,
                               instance_labels=cfg.dataset.instance_labels,

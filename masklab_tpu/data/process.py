@@ -33,6 +33,29 @@ from .imglab import imglabformat_to_dataframe
 IMAGE_FORMATS = ('.jpg', '.jpeg', '.png')
 
 
+def load_split_cases(data_dir: str):
+    """(train_cases, valid_cases) from the ETL's seed-777 split CSVs.
+
+    The reference's experiment driver loads processed/{train,valid}.csv
+    into config.dataset.{train,valid}_cases (road_project/train.py:24-27);
+    this is its loader. Returns (None, None) when the dataset has not been
+    processed (or has no held-out rows) so callers can fall back to
+    all-images behavior.
+    """
+    processed = os.path.join(data_dir, 'processed')
+    out = []
+    for name in ('train.csv', 'valid.csv'):
+        path = os.path.join(processed, name)
+        if not os.path.isfile(path):
+            return None, None
+        with open(path) as f:
+            cases = [line.strip() for line in f if line.strip()]
+        out.append(cases)
+    if not out[0] or not out[1]:
+        return None, None
+    return out[0], out[1]
+
+
 def get_image_cases(image_dir: str) -> List[str]:
     out = []
     for root, _, files in os.walk(image_dir):

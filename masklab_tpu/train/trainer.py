@@ -43,8 +43,22 @@ from ..utils.loggers import (CSVLogger, MLflowLogger, MultiLogger,
 
 
 def construct_masklab_datasets(config: ModelConfiguration):
-    """MaskLabDataset pair from config (retinamasklab.py:398-417)."""
+    """MaskLabDataset pair from config (retinamasklab.py:398-417).
+
+    When the config names no explicit cases, the ETL's seed-777 90/10
+    split CSVs are used if present — the reference driver loads them into
+    train_cases/valid_cases itself (road_project/train.py:24-27); without
+    them, training-on-everything silently made validation an overfit echo.
+    Datasets too small for a held-out row (valid.csv empty) fall back to
+    all-images for both, preserving the tiny-fixture behavior.
+    """
     d = config.dataset
+    if not d.train_cases and not d.valid_cases:
+        from ..data.process import load_split_cases
+        train_cases, valid_cases = load_split_cases(d.data_dir)
+        if train_cases is not None:
+            d.train_cases = train_cases
+            d.valid_cases = valid_cases
     trainset = MaskLabDataset(d.train_cases or None, min_area=d.min_area,
                               data_dir=d.data_dir,
                               instance_labels=d.instance_labels,

@@ -181,3 +181,73 @@ def test_imglab_roundtrip(data_dir):
     back = dataframe_to_imglabformat(df, image_wh=(320, 256))
     df2 = imglabformat_to_dataframe(back)
     assert len(df2) == len(df)
+
+
+# ---- seed-777 split wiring (VERDICT r4 weak #6 ground work) ----
+# The ETL has always written processed/{train,valid}.csv; the reference
+# driver loads them into config.dataset.{train,valid}_cases itself
+# (road_project/train.py:24-27). These pin our loader + the trainer/CLI
+# auto-wiring that replaces that manual step.
+
+def test_load_split_cases_small_set_falls_back(data_dir):
+    # 6 images -> valid_n = int(0.6) = 0 -> no held-out rows -> (None, None)
+    from masklab_tpu.data.process import load_split_cases
+    train, valid = load_split_cases(data_dir)
+    assert train is None and valid is None
+    # unprocessed dir behaves the same
+    assert load_split_cases('/nonexistent') == (None, None)
+
+
+@pytest.fixture(scope='module')
+def split_data_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp('roadset20'))
+    make_synthetic_dataset(d, num_images=20, image_hw=(256, 320), seed=3)
+    process_dataset(d, num_workers=1)
+    return d
+
+
+def test_load_split_cases_disjoint_cover(split_data_dir):
+    from masklab_tpu.data.process import load_split_cases
+    train, valid = load_split_cases(split_data_dir)
+    assert len(train) == 18 and len(valid) == 2
+    assert not set(train) & set(valid)
+    all_names = {f'frame_{i:04d}.jpg' for i in range(20)}
+    assert set(train) | set(valid) == all_names
+
+
+def test_construct_datasets_uses_split(split_data_dir):
+    from masklab_tpu import ModelConfiguration
+    from masklab_tpu.train.trainer import construct_masklab_datasets
+    cfg = ModelConfiguration()
+    cfg.dataset.data_dir = split_data_dir
+    cfg.dataset.min_area = 100.0
+    trainset, validset = construct_masklab_datasets(cfg)
+    assert len(trainset) == 18 and len(validset) == 2
+    assert not set(trainset.cases) & set(validset.cases)
+    # the resolved split is recorded on the config (travels with the
+    # checkpoint snapshot)
+    assert cfg.dataset.train_cases == list(trainset.cases)
+
+
+def test_construct_datasets_explicit_cases_win(split_data_dir):
+    from masklab_tpu import ModelConfiguration
+    from masklab_tpu.train.trainer import construct_masklab_datasets
+    cfg = ModelConfiguration()
+    cfg.dataset.data_dir = split_data_dir
+    cfg.dataset.min_area = 100.0
+    cfg.dataset.train_cases = ['frame_0000.jpg', 'frame_0001.jpg']
+    trainset, validset = construct_masklab_datasets(cfg)
+    assert len(trainset) == 2
+    # explicit train_cases suppress the auto-split entirely: valid stays
+    # as configured (empty -> all images), never silently re-split
+    assert len(validset) == 20
+
+
+def test_construct_datasets_small_set_uses_all(data_dir):
+    from masklab_tpu import ModelConfiguration
+    from masklab_tpu.train.trainer import construct_masklab_datasets
+    cfg = ModelConfiguration()
+    cfg.dataset.data_dir = data_dir
+    cfg.dataset.min_area = 100.0
+    trainset, validset = construct_masklab_datasets(cfg)
+    assert len(trainset) == 6 and len(validset) == 6
