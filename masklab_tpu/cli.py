@@ -205,16 +205,31 @@ def cmd_serve(args) -> None:
 
 
 def cmd_process(args) -> None:
+    """``process <src> <dst> [--batch=N] [overrides]``.
+
+    ``--batch=N`` (N>1) selects the big-batch THROUGHPUT regime for
+    offline, latency-insensitive runs — measured 1614.8 img/s sparse
+    @ b32 on v5e vs 1405.8 @ b16 (docs/PERFORMANCE.md). Default stays
+    per-image (lowest compile footprint, first-result latency).
+    """
     from .serving.server import process_folder
     paths = [a for a in args if not a.startswith('-')]
     if len(paths) < 2:
-        raise SystemExit('usage: process <src_dir> <dst_dir> [overrides]')
+        raise SystemExit(
+            'usage: process <src_dir> <dst_dir> [--batch=N] [overrides]')
     src, dst = paths[0], paths[1]
-    cfg = _load_config([a for a in args if a.startswith('-')])
+    batch = 1
+    overrides = []
+    for a in args:
+        if a.startswith('--batch='):
+            batch = int(a.split('=', 1)[1])
+        elif a.startswith('-') and a not in (src, dst):
+            overrides.append(a)
+    cfg = _load_config(overrides)
     predictor = _build_predictor(cfg, cfg.train.save_dir)
     results = process_folder(predictor, src, dst,
-                             cfg.dataset.instance_labels)
-    print(f'processed {len(results)} images -> {dst}')
+                             cfg.dataset.instance_labels, batch_size=batch)
+    print(f'processed {len(results)} images -> {dst} (batch={batch})')
 
 
 def cmd_export(args) -> None:

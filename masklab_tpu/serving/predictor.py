@@ -216,16 +216,7 @@ class MaskLabPredictor:
     def predict_bytes(self, content: bytes,
                       mode: Optional[str] = None) -> Dict[str, np.ndarray]:
         """JPEG/PNG bytes -> outputs (host-side decode, device pipeline)."""
-        import cv2
-        arr = np.frombuffer(content, np.uint8)
-        bgr = cv2.imdecode(arr, cv2.IMREAD_COLOR)
-        if bgr is None:
-            # surface a clear client error instead of cv2.cvtColor's
-            # opaque !_src.empty() assertion
-            raise ValueError('could not decode image bytes '
-                             '(corrupt or unsupported format)')
-        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-        return self.predict(rgb, mode)
+        return self.predict(decode_image_bytes(content), mode)
 
     @staticmethod
     def encode_jpeg(image_rgb: np.ndarray) -> bytes:
@@ -235,6 +226,19 @@ class MaskLabPredictor:
         if not ok:
             raise RuntimeError('jpeg encode failed')
         return bytes(buf.tobytes())
+
+
+def decode_image_bytes(content: bytes) -> np.ndarray:
+    """JPEG/PNG bytes -> uint8 RGB [H,W,3] (host-side cv2 decode)."""
+    import cv2
+    arr = np.frombuffer(content, np.uint8)
+    bgr = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+    if bgr is None:
+        # surface a clear client error instead of cv2.cvtColor's
+        # opaque !_src.empty() assertion
+        raise ValueError('could not decode image bytes '
+                         '(corrupt or unsupported format)')
+    return cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
 
 
 def summary_to_records(summary_row: np.ndarray, instance_labels,

@@ -26,7 +26,8 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from .predictor import MaskLabPredictor, summary_to_records
+from .predictor import (MaskLabPredictor, decode_image_bytes,
+                        summary_to_records)
 
 DEFAULT_PORT = 8501  # same REST port the reference's TF-Serving used
 
@@ -203,23 +204,59 @@ def send_image_to_server(image_path: str, host: str = 'localhost',
 
 
 def process_folder(predictor: MaskLabPredictor, src_dir: str, dst_dir: str,
-                   instance_labels=()) -> Dict[str, Dict]:
-    """Offline batch processing: annotate every image in a folder."""
+                   instance_labels=(), batch_size: int = 1) -> Dict[str, Dict]:
+    """Offline batch processing: annotate every image in a folder.
+
+    Replaces the reference's serial per-image gRPC client loop
+    (serving.py:228-277). ``batch_size > 1`` is the THROUGHPUT mode for
+    latency-insensitive offline runs: images are decoded up front, grouped
+    by resolution, and fed to the device in stacked batches — the
+    big-batch regime measured at 1614.8 img/s sparse @ b32 on v5e vs
+    1405.8 @ b16 (docs/PERFORMANCE.md round-4 A/B). Remainder chunks are
+    zero-padded up to ``batch_size`` and sliced back so every resolution
+    compiles exactly ONE pipeline (each extra batch shape is a 20 s-5 min
+    remote compile on the dev tunnel). Results are identical to the
+    default per-image path (the pipeline is per-image; pad rows are dead
+    compute).
+    """
     os.makedirs(dst_dir, exist_ok=True)
-    results = {}
-    for name in sorted(os.listdir(src_dir)):
-        if os.path.splitext(name)[1].lower() not in ('.jpg', '.jpeg', '.png'):
-            continue
-        with open(os.path.join(src_dir, name), 'rb') as f:
-            out = predictor.predict_bytes(f.read())
+    names = [n for n in sorted(os.listdir(src_dir))
+             if os.path.splitext(n)[1].lower() in ('.jpg', '.jpeg', '.png')]
+    results: Dict[str, Dict] = {}
+
+    def record(name: str, out: Dict, i: int):
         entry: Dict = {}
         if 'summarize' in out:
-            entry['objs'] = summary_to_records(out['summarize'][0],
+            entry['objs'] = summary_to_records(out['summarize'][i],
                                                instance_labels)
         if 'visualize' in out:
             with open(os.path.join(dst_dir, name), 'wb') as f:
-                f.write(MaskLabPredictor.encode_jpeg(out['visualize'][0]))
+                f.write(MaskLabPredictor.encode_jpeg(out['visualize'][i]))
         results[name] = entry
+
+    if batch_size <= 1:
+        for name in names:
+            with open(os.path.join(src_dir, name), 'rb') as f:
+                out = predictor.predict_bytes(f.read())
+            record(name, out, 0)
+    else:
+        groups: Dict[tuple, list] = {}
+        for name in names:
+            with open(os.path.join(src_dir, name), 'rb') as f:
+                rgb = decode_image_bytes(f.read())
+            groups.setdefault(rgb.shape[:2], []).append((name, rgb))
+        for _, items in sorted(groups.items()):
+            for lo in range(0, len(items), batch_size):
+                chunk = items[lo:lo + batch_size]
+                stack = np.stack([rgb for _, rgb in chunk])
+                if len(chunk) < batch_size:
+                    pad = np.zeros((batch_size - len(chunk),)
+                                   + stack.shape[1:], stack.dtype)
+                    stack = np.concatenate([stack, pad])
+                out = predictor.predict(stack)
+                for i, (name, _) in enumerate(chunk):
+                    record(name, out, i)
+
     with open(os.path.join(dst_dir, 'results.json'), 'w') as f:
         json.dump(results, f, indent=2)
     return results
