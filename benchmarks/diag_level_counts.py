@@ -27,11 +27,18 @@ def main():
     from masklab_tpu.ops.boxes import decode_boxes
     from masklab_tpu.ops.nms import batched_class_aware_nms
 
-    cfg = ModelConfiguration()
-    cfg.backbone.backbone_type = os.environ.get('BENCH_BACKBONE',
-                                                'mobilenetv2')
+    if os.environ.get('BENCH_PRESET') == 'road':
+        from masklab_tpu.presets import road_project_config
+        cfg = road_project_config()
+        cfg.compute.mesh_data = 1
+        default_batch = '8'
+    else:
+        cfg = ModelConfiguration()
+        cfg.backbone.backbone_type = os.environ.get('BENCH_BACKBONE',
+                                                    'mobilenetv2')
+        default_batch = '16'
     cfg.compute.compute_dtype = 'bfloat16'
-    batch = int(os.environ.get('BENCH_BATCH', '16'))
+    batch = int(os.environ.get('BENCH_BATCH', default_batch))
     size = int(os.environ.get('BENCH_SIZE', '512'))
     model = build_masklab(cfg)
     rng = np.random.RandomState(0)

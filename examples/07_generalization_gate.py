@@ -3,8 +3,8 @@
 examples/06 overfits the whole synthetic set and evaluates in-sample — a
 strong pipeline regression check, but one a subtly-wrong assign/loss
 change can still power through (VERDICT r4 weak #6). This gate trains on
-the ETL's seed-777 90% train split of a 20-image synthetic set and
-evaluates the 2 HELD-OUT images with the full mIoU protocol
+the ETL's seed-777 90% train split of a 30-image synthetic set and
+evaluates the 3 HELD-OUT images with the full mIoU protocol
 (road_project/train.py:101-212), asserting floors below which a semantic
 break (not noise) is the only explanation.
 
@@ -23,7 +23,7 @@ MASK_MIOU_FLOOR = 0.5
 SEMANTIC_MIOU_FLOOR = 0.5
 
 
-def main(data_dir='/tmp/masklab_gen20', save_dir='/tmp/masklab_gen_gate'):
+def main(data_dir='/tmp/masklab_gen30', save_dir='/tmp/masklab_gen_gate'):
     from masklab_tpu.data import (MaskLabDataset, make_synthetic_dataset,
                                   process_dataset)
     from masklab_tpu.data.process import load_split_cases
@@ -33,7 +33,7 @@ def main(data_dir='/tmp/masklab_gen20', save_dir='/tmp/masklab_gen_gate'):
     from masklab_tpu.train.trainer import train_masklab_model
 
     if not os.path.isdir(os.path.join(data_dir, 'images')):
-        make_synthetic_dataset(data_dir, num_images=20)
+        make_synthetic_dataset(data_dir, num_images=30)
         process_dataset(data_dir, num_workers=1)
 
     train_cases, valid_cases = load_split_cases(data_dir)

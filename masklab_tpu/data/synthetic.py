@@ -16,6 +16,18 @@ import numpy as np
 INSTANCE_LABELS = ('car', 'bump', 'manhole', 'steel', 'pothole')
 SEMANTIC_LABELS = ('other_road', 'my_road', 'crack')
 
+# Per-class fill colors: the class must be LEARNABLE from pixels, not just
+# memorizable per image — with a single shared color, a held-out detector
+# can localize but never classify, which made the round-5 generalization
+# gate structurally impossible (held-out class predictions were chance).
+_CLASS_COLORS = {
+    'car': (200, 60, 60),
+    'bump': (60, 180, 60),
+    'manhole': (70, 70, 210),
+    'steel': (210, 200, 60),
+    'pothole': (180, 60, 200),
+}
+
 
 def _rect_polygon(cx, cy, w, h):
     x1, y1 = cx - w / 2, cy - h / 2
@@ -55,7 +67,7 @@ def make_synthetic_dataset(data_dir: str, num_images: int = 6,
             cy = rng.uniform(h * 0.4 + bh / 2, h - bh / 2)
             cv2.rectangle(img, (int(cx - bw / 2), int(cy - bh / 2)),
                           (int(cx + bw / 2), int(cy + bh / 2)),
-                          (200, 60, 60), -1)
+                          _CLASS_COLORS[label], -1)
             annos[label].append((name, _rect_polygon(cx, cy, bw, bh)))
         cv2.imwrite(os.path.join(image_dir, name), img)
 
