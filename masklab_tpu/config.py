@@ -235,9 +235,17 @@ class ComputeConfig:
     # Measured on hardware (round 4): dense b16 669.3 -> 745.8 img/s
     # (23.91 -> 21.45 ms/batch). Cost: 3 more compiled cond branches per
     # level on first compile.
-    mask_capacity_fractions: Tuple[float, ...] = (0.03125, 0.0625, 0.125,
-                                                  0.25, 0.5, 0.75, 0.875,
-                                                  1.0)
+    # Round-5 refinement (benchmarks/diag_level_counts.py at the shipped
+    # regimes): the dense-headline batch routed level-1 max ~33 onto the
+    # 0.5 rung (800 crops for 429 live, 46% pad) and level-2 max ~8 onto
+    # 0.125 (208 for 60); the road preset's level-0 max ~89 fell just past
+    # 0.875 onto the full-K rung. Rungs 0.08/0.16/0.33/0.4/0.8/0.9 fit
+    # those observed regimes; runtime cost is unchanged (the switch
+    # executes one branch), compile time grows with the branch count.
+    mask_capacity_fractions: Tuple[float, ...] = (0.03125, 0.0625, 0.08,
+                                                  0.125, 0.16, 0.25, 0.33,
+                                                  0.4, 0.5, 0.75, 0.8,
+                                                  0.875, 0.9, 1.0)
 
 
 _GROUP_TYPES = {
