@@ -16,7 +16,8 @@ import json
 from concurrent import futures
 from typing import Dict, Optional
 
-from .predictor import MaskLabPredictor, summary_to_records
+from .predictor import (MaskLabPredictor, decode_image_bytes,
+                        summary_to_records)
 
 SERVICE_NAME = 'masklab.MaskLab'
 METHOD = f'/{SERVICE_NAME}/Predict'
@@ -48,12 +49,7 @@ class MaskLabGrpcServer:
 
         def predict(request: bytes, context) -> bytes:
             if self.batcher is not None:
-                import cv2
-                import numpy as np
-                arr = np.frombuffer(request, np.uint8)
-                bgr = cv2.imdecode(arr, cv2.IMREAD_COLOR)
-                rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-                out = self.batcher.submit(rgb)
+                out = self.batcher.submit(decode_image_bytes(request))
             else:
                 out = self.predictor.predict_bytes(request)
             payload: Dict = {}

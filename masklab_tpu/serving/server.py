@@ -92,11 +92,7 @@ class _Handler(BaseHTTPRequestHandler):
         started = time.time()
         try:
             if self.batcher is not None:
-                import cv2
-                arr = np.frombuffer(content, np.uint8)
-                bgr = cv2.imdecode(arr, cv2.IMREAD_COLOR)
-                rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-                out = self.batcher.submit(rgb, mode)
+                out = self.batcher.submit(decode_image_bytes(content), mode)
             else:
                 out = self.predictor.predict_bytes(content, mode)
         except Exception as exc:  # noqa: BLE001 — surface to client
