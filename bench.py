@@ -577,8 +577,11 @@ def run():
     """Entry wrapper: on ANY terminal failure, still print one parseable
     JSON line (with an `error` field) so the driver's capture is never an
     unparseable traceback-only tail, then exit non-zero. External
-    SIGTERM / internal watchdog go through _emergency_exit instead."""
-    _install_signal_handlers()
+    SIGTERM / internal watchdog go through _emergency_exit, installed in
+    the __main__ block — NOT here: an in-process caller (the capture
+    tests import and call run()) must never inherit a live 900 s SIGALRM
+    that os._exit()s its host process later (this silently killed two
+    full pytest runs at minute ~21 before being traced)."""
     try:
         main()
     except (KeyboardInterrupt, SystemExit):
@@ -607,4 +610,5 @@ def run():
 
 
 if __name__ == '__main__':
+    _install_signal_handlers()
     run()

@@ -282,3 +282,15 @@ def test_load_last_good_rejects_corrupt_file(monkeypatch, tmp_path):
     assert bench._load_last_good() is None          # corrupt file
     path.write_text(json.dumps({'value': None, 'error': 'x'}))
     assert bench._load_last_good() is None          # error line, not a run
+
+
+def test_run_installs_no_alarm_in_process(monkeypatch):
+    """run() must NOT plant signal handlers/alarms: an importing caller
+    (this test suite) would inherit a live 900 s SIGALRM whose handler
+    os._exit()s the host process — this silently killed two full pytest
+    runs at minute ~21. Handlers belong to the __main__ path only."""
+    import signal
+    monkeypatch.setattr(bench, 'main', lambda: None)
+    bench.run()
+    assert signal.alarm(0) == 0          # no pending alarm left behind
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
