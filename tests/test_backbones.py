@@ -188,3 +188,71 @@ def test_preprocess_combos_match_reference_frozen_table():
     }
     for name, combo in reference_frozen.items():
         assert PREPROCESS_COMBOS[name] == combo, name
+
+
+# ---- space-to-depth stem (round-5 stem-conv optimization) ----
+
+def test_space_to_depth_stem_matches_direct_conv():
+    """The MLPerf s2d transform must be numerically equivalent to the
+    direct 7x7/s2/pad-3 conv (same dot products, re-indexed)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from masklab_tpu.nn.backbone.resnet import space_to_depth_stem
+
+    rng = np.random.RandomState(0)
+    for h, w in ((64, 64), (128, 96), (256, 320)):
+        x = jnp.asarray(rng.randn(2, h, w, 3), jnp.float32)
+        k = jnp.asarray(rng.randn(7, 7, 3, 16) * 0.1, jnp.float32)
+        direct = jax.lax.conv_general_dilated(
+            x, k, window_strides=(2, 2), padding=((3, 3), (3, 3)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        s2d = space_to_depth_stem(x, k)
+        assert s2d.shape == direct.shape
+        np.testing.assert_allclose(np.asarray(s2d), np.asarray(direct),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_stem_conv_module_s2d_path_parity(monkeypatch):
+    """StemConv7x7 with MASKLAB_FORCE_S2D must equal its direct path with
+    the SAME params (checkpoint compatibility + numerical parity), and
+    grads must match (the training path runs through the stem)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from masklab_tpu.nn.backbone.resnet import StemConv7x7
+
+    mod = StemConv7x7(16, use_bias=True)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 64, 64, 3),
+                    jnp.float32)
+    monkeypatch.delenv('MASKLAB_FORCE_S2D', raising=False)
+    monkeypatch.setenv('MASKLAB_NO_S2D_STEM', '1')
+    v = mod.init(jax.random.PRNGKey(0), x)
+    assert v['params']['kernel'].shape == (7, 7, 3, 16)   # nn.Conv layout
+    direct = mod.apply(v, x)
+
+    def loss_direct(p):
+        return jnp.sum(mod.apply({'params': p}, x) ** 2)
+    g_direct = jax.grad(loss_direct)(v['params'])
+
+    monkeypatch.delenv('MASKLAB_NO_S2D_STEM')
+    monkeypatch.setenv('MASKLAB_FORCE_S2D', '1')
+    s2d = mod.apply(v, x)
+    np.testing.assert_allclose(np.asarray(s2d), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+    g_s2d = jax.grad(loss_direct)(v['params'])
+    for key in ('kernel', 'bias'):
+        np.testing.assert_allclose(np.asarray(g_s2d[key]),
+                                   np.asarray(g_direct[key]),
+                                   rtol=1e-4, atol=1e-4, err_msg=key)
+
+    # odd spatial extent must fall back to the direct conv, same result
+    x_odd = x[:, :63, :61, :]
+    np.testing.assert_allclose(
+        np.asarray(mod.apply(v, x_odd)),
+        np.asarray(jax.lax.conv_general_dilated(
+            x_odd, v['params']['kernel'], window_strides=(2, 2),
+            padding=((3, 3), (3, 3)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            + v['params']['bias']),
+        rtol=1e-5, atol=1e-5)
