@@ -58,6 +58,23 @@ def make_synthetic_dataset(data_dir: str, num_images: int = 6,
             float(v) for p in road for v in p]))
         annos['other_road'].append((name, _rect_polygon(
             w * 0.15, h * 0.75, w * 0.15, h * 0.45)))
+        # a thin dark crack on the road in half the frames — exercises the
+        # crack semantic channel end-to-end (rasterize -> train -> eval's
+        # crack-only-when-instances rule -> crack_to_instance analytics);
+        # without it the crack paths only ever saw zeros in the gates
+        if i % 2 == 0:
+            ccx = rng.uniform(w * 0.35, w * 0.65)
+            ccy = rng.uniform(h * 0.55, h * 0.85)
+            length = rng.uniform(0.15, 0.3) * h
+            half_w = max(3.0, 0.012 * w)
+            slant = rng.uniform(-0.1, 0.1) * h
+            crack_poly = [ccx - half_w, ccy - length / 2,
+                          ccx + half_w, ccy - length / 2,
+                          ccx + half_w + slant, ccy + length / 2,
+                          ccx - half_w + slant, ccy + length / 2]
+            pts = np.asarray(crack_poly, np.float32).reshape(-1, 2)
+            cv2.fillPoly(img, [pts.astype(np.int32)], (45, 42, 48))
+            annos['crack'].append((name, [float(v) for v in crack_poly]))
         # a couple of instances per image
         for _ in range(rng.randint(1, 4)):
             label = INSTANCE_LABELS[rng.randint(len(INSTANCE_LABELS))]

@@ -121,8 +121,16 @@ class EfficientNet(nn.Module):
     def __call__(self, x, train: bool = False):
         endpoints = {}
         stem_ch = _round_filters(32, self.width)
-        x = nn.Conv(stem_ch, (3, 3), strides=(2, 2), padding='SAME',
-                    use_bias=False, dtype=self.dtype, name='stem')(x)
+        if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            # exact space-to-depth stem (see nn.layers.StemConv); SAME for
+            # 3x3/s2 on even extents is exactly (0,1)
+            from ..layers import StemConv
+            x = StemConv(stem_ch, use_bias=False, kernel_size=(3, 3),
+                         pad=((0, 1), (0, 1)), dtype=self.dtype,
+                         name='stem')(x)
+        else:
+            x = nn.Conv(stem_ch, (3, 3), strides=(2, 2), padding='SAME',
+                        use_bias=False, dtype=self.dtype, name='stem')(x)
         x = _BN(self.dtype, name='stem_bn')(x, train)
         x = nn.swish(x)
         in_ch = stem_ch

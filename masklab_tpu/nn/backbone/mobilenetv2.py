@@ -75,8 +75,18 @@ class MobileNetV2(nn.Module):
             v = max(8, int(c * self.alpha + 4) // 8 * 8)
             return v
 
-        x = nn.Conv(ch(32), (3, 3), strides=(2, 2), padding='SAME',
-                    use_bias=False, dtype=self.dtype, name='stem')(x)
+        if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            # SAME for 3x3/s2 on even extents is exactly (0,1) — routed
+            # through the exact space-to-depth stem (see nn.layers.StemConv;
+            # 3 input channels run the direct emitter at ~6% MXU). Odd
+            # extents keep nn.Conv's SAME (different pad split there).
+            from ..layers import StemConv
+            x = StemConv(ch(32), use_bias=False, kernel_size=(3, 3),
+                         pad=((0, 1), (0, 1)), dtype=self.dtype,
+                         name='stem')(x)
+        else:
+            x = nn.Conv(ch(32), (3, 3), strides=(2, 2), padding='SAME',
+                        use_bias=False, dtype=self.dtype, name='stem')(x)
         x = _BN(self.dtype, name='stem_bn')(x, train)
         x = _relu6(x)
         in_ch = ch(32)

@@ -54,75 +54,12 @@ from flax import linen as nn
 
 _PAD1 = ((1, 1), (1, 1))  # ZeroPadding2D(1) + 'valid' conv equivalent
 
+from ..layers import StemConv, space_to_depth_stem  # noqa: E402  (re-export
+# for tests; the transform lives with the shared layers)
 
-def space_to_depth_stem(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """7x7/stride-2/pad-3 conv as a 4x4/stride-1 conv on 2x2-packed input.
-
-    The stem conv's 3 input channels pad to 8 MXU sublanes, so XLA's
-    direct emitter runs it at ~3% efficiency — 1.46 ms + a 0.39 ms input
-    relayout per road batch-8 @512px, the single largest non-cond op in
-    the inference trace (round-5 log). The MLPerf-ResNet space-to-depth
-    transform re-indexes the SAME dot products: pack input 2x2 blocks
-    into channels ([B,H,W,3] -> [B,H/2,W/2,12]) and fold the kernel the
-    same way (7x7 zero-padded front to 8x8, regrouped [4,4,12,F]), so the
-    conv becomes stride-1 over 12 channels — mathematically exact, modulo
-    f32 accumulation order.
-
-    Derivation: y[i,j] = sum_{u,v,c} x_pad[2i+u-3, 2j+v-3, c] W[u,v,c].
-    With u = 2(m-2)+r (m in 0..3, r in {0,1}): W index 2m+r-1, hence the
-    front zero-pad; x index 2(i+m-2)+r = row r of packed pixel i+m-2,
-    i.e. a 4-tap stride-1 conv with padding (2,1).
-    """
-    b, h, w, c = x.shape
-    f = kernel.shape[-1]
-    x2 = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-    k = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))     # [8,8,c,F]
-    k = k.reshape(4, 2, 4, 2, c, f).transpose(0, 2, 1, 3, 4, 5)
-    k = k.reshape(4, 4, 4 * c, f)
-    return jax.lax.conv_general_dilated(
-        x2, k, window_strides=(1, 1), padding=((2, 1), (2, 1)),
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-
-
-class StemConv7x7(nn.Module):
-    """Drop-in for ``nn.Conv(64, (7,7), strides=2, padding=3)`` stems.
-
-    Identical parameter names/shapes/inits to nn.Conv (kernel [7,7,C,F],
-    optional bias [F]) so checkpoints, h5 transplant, and freeze masks are
-    untouched; only the compute is re-expressed. The space-to-depth path
-    engages on TPU for even spatial extents (model inputs are /32-floored,
-    always even); MASKLAB_NO_S2D_STEM=1 forces the direct conv for A/Bs,
-    MASKLAB_FORCE_S2D=1 engages it off-TPU (CPU parity tests).
-    """
-    features: int = 64
-    use_bias: bool = False
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        import os
-        c = x.shape[-1]
-        kernel = self.param('kernel', nn.initializers.lecun_normal(),
-                            (7, 7, c, self.features), jnp.float32)
-        bias = self.param('bias', nn.initializers.zeros,
-                          (self.features,), jnp.float32) \
-            if self.use_bias else None
-        use_s2d = (x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
-                   and not os.environ.get('MASKLAB_NO_S2D_STEM')
-                   and (jax.devices()[0].platform == 'tpu'
-                        or os.environ.get('MASKLAB_FORCE_S2D')))
-        xd = x.astype(self.dtype)
-        kd = kernel.astype(self.dtype)
-        if use_s2d:
-            y = space_to_depth_stem(xd, kd)
-        else:
-            y = jax.lax.conv_general_dilated(
-                xd, kd, window_strides=(2, 2), padding=((3, 3), (3, 3)),
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-        if bias is not None:
-            y = y + bias.astype(self.dtype)
-        return y
+# ResNet-family stem: StemConv's defaults ARE the 7x7 / stride-2 / SAME-3
+# form, so the alias just documents intent at the three stem sites.
+StemConv7x7 = StemConv
 
 
 class _BN(nn.Module):

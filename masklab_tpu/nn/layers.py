@@ -133,6 +133,114 @@ class GroupNorm(nn.Module):
         return g.reshape(shape).astype(self.dtype)
 
 
+def space_to_depth_stem(x: jnp.ndarray, kernel: jnp.ndarray,
+                        pad=((3, 3), (3, 3))) -> jnp.ndarray:
+    """Stride-2 stem conv as a stride-1 conv on 2x2-packed input — exact.
+
+    A stem conv's 3 input channels pad to 8 MXU sublanes, so XLA's direct
+    emitter runs it at ~3-8% efficiency — on the road preset the 7x7 stem
+    plus its input relayout copy were 1.85 ms of an 11.6 ms batch, the
+    largest non-cond cost in the inference trace (round-5 log). The
+    MLPerf-ResNet space-to-depth transform re-indexes the SAME dot
+    products: pack input 2x2 blocks into channels ([B,H,W,C] ->
+    [B,H/2,W/2,4C]) and regroup the kernel to match, so the conv runs
+    stride-1 over 4C channels. Mathematically exact (modulo f32
+    accumulation order) for ANY odd/even kernel and padding whose output
+    extent is exactly H/2 x W/2.
+
+    Derivation per axis (size K, pad (pl, ph)): y[i] = sum_u
+    x_pad[2i + u - pl] W[u]. Substituting u = 2(m - m0) + r - shift with
+    m0 = floor(-pl/2), shift = 2*m0 + pl: the packed kernel A[a] = W[a +
+    shift] (zeros outside), folded [Mn, 2] -> stride-1 taps over packed
+    rows with padding (-m0, m0 + Mn - 1). Covers the ResNet 7x7/SAME-3
+    form (packs to [4,4,4C]) and Keras' asymmetric (0,1)+VALID 3x3 form
+    (packs to [2,2,4C], the mobilenet stem).
+    """
+    b, h, w, c = x.shape
+    kh, kw, _, f = kernel.shape
+
+    def axis_params(k, pl, ph, extent):
+        m0 = -((pl + 1) // 2)                      # floor(-pl/2)
+        mn = (k - 1 - pl) // 2 - m0 + 1
+        shift = 2 * m0 + pl
+        out = (extent + pl + ph - k) // 2 + 1
+        if out != extent // 2:
+            raise ValueError(
+                f'space_to_depth_stem: output extent {out} != packed '
+                f'{extent // 2} (k={k}, pad=({pl},{ph}), in={extent})')
+        return mn, shift, (-m0, m0 + mn - 1)
+
+    mh, sh, pad_h = axis_params(kh, pad[0][0], pad[0][1], h)
+    mw, sw, pad_w = axis_params(kw, pad[1][0], pad[1][1], w)
+
+    def fold(kern, axis, mn, shift, k):
+        full = [kern.shape[0], kern.shape[1]]
+        full[axis] = 2 * mn
+        a = jnp.zeros(tuple(full) + kern.shape[2:], kern.dtype)
+        dst = max(0, -shift)
+        src = max(0, shift)
+        n = min(k - src, 2 * mn - dst)
+        sl_dst = [slice(None)] * a.ndim
+        sl_dst[axis] = slice(dst, dst + n)
+        sl_src = [slice(None)] * kern.ndim
+        sl_src[axis] = slice(src, src + n)
+        return a.at[tuple(sl_dst)].set(kern[tuple(sl_src)])
+
+    k2 = fold(kernel, 0, mh, sh, kh)               # [2Mh, kw, c, f]
+    k2 = fold(k2, 1, mw, sw, kw)                   # [2Mh, 2Mw, c, f]
+    k2 = k2.reshape(mh, 2, mw, 2, c, f).transpose(0, 2, 1, 3, 4, 5)
+    k2 = k2.reshape(mh, mw, 4 * c, f)
+
+    x2 = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    return jax.lax.conv_general_dilated(
+        x2, k2, window_strides=(1, 1), padding=(pad_h, pad_w),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+class StemConv(nn.Module):
+    """Drop-in for a stride-2 stem ``nn.Conv`` with explicit padding.
+
+    Identical parameter names/shapes/inits to nn.Conv (kernel [kh,kw,C,F],
+    optional bias [F]) so checkpoints, h5 transplant, and freeze masks are
+    untouched; only the compute is re-expressed. The space-to-depth path
+    engages on TPU for even spatial extents (model inputs are /32-floored,
+    always even); MASKLAB_NO_S2D_STEM=1 forces the direct conv for A/Bs,
+    MASKLAB_FORCE_S2D=1 engages it off-TPU (CPU parity tests).
+    """
+    features: int = 64
+    use_bias: bool = False
+    kernel_size: Tuple[int, int] = (7, 7)
+    pad: Tuple[Tuple[int, int], Tuple[int, int]] = ((3, 3), (3, 3))
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import os
+        c = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            self.kernel_size + (c, self.features),
+                            jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.features,), jnp.float32) \
+            if self.use_bias else None
+        use_s2d = (x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+                   and not os.environ.get('MASKLAB_NO_S2D_STEM')
+                   and (jax.devices()[0].platform == 'tpu'
+                        or os.environ.get('MASKLAB_FORCE_S2D')))
+        xd = x.astype(self.dtype)
+        kd = kernel.astype(self.dtype)
+        if use_s2d:
+            y = space_to_depth_stem(xd, kd, self.pad)
+        else:
+            y = jax.lax.conv_general_dilated(
+                xd, kd, window_strides=(2, 2), padding=self.pad,
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class SqueezeExcite(nn.Module):
     """Channel attention: GAP -> bottleneck dense -> sigmoid gate."""
     ratio: float = 16.0

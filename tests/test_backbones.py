@@ -201,16 +201,21 @@ def test_space_to_depth_stem_matches_direct_conv():
     from masklab_tpu.nn.backbone.resnet import space_to_depth_stem
 
     rng = np.random.RandomState(0)
-    for h, w in ((64, 64), (128, 96), (256, 320)):
-        x = jnp.asarray(rng.randn(2, h, w, 3), jnp.float32)
-        k = jnp.asarray(rng.randn(7, 7, 3, 16) * 0.1, jnp.float32)
-        direct = jax.lax.conv_general_dilated(
-            x, k, window_strides=(2, 2), padding=((3, 3), (3, 3)),
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-        s2d = space_to_depth_stem(x, k)
-        assert s2d.shape == direct.shape
-        np.testing.assert_allclose(np.asarray(s2d), np.asarray(direct),
-                                   rtol=1e-5, atol=1e-5)
+    # (kh, pad): the ResNet 7x7/SAME-3 form and the Keras asymmetric
+    # (0,1)+VALID 3x3 form (mobilenet stem / SAME-on-even stems)
+    for ksz, pad in (((7, 7), ((3, 3), (3, 3))),
+                     ((3, 3), ((0, 1), (0, 1)))):
+        for h, w in ((64, 64), (128, 96), (256, 320)):
+            x = jnp.asarray(rng.randn(2, h, w, 3), jnp.float32)
+            k = jnp.asarray(rng.randn(*ksz, 3, 16) * 0.1, jnp.float32)
+            direct = jax.lax.conv_general_dilated(
+                x, k, window_strides=(2, 2), padding=pad,
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            s2d = space_to_depth_stem(x, k, pad)
+            assert s2d.shape == direct.shape, (ksz, pad, h, w)
+            np.testing.assert_allclose(np.asarray(s2d), np.asarray(direct),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=f'{ksz} {pad} {h}x{w}')
 
 
 def test_stem_conv_module_s2d_path_parity(monkeypatch):
